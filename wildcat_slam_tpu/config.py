@@ -1,0 +1,122 @@
+"""Typed, serializable configuration for the whole pipeline.
+
+Consolidates the reference's scattered constants into one dataclass:
+- ``LioConfig`` hard-coded values (lio_config.h:8-46),
+- call-site magic numbers (surfel_extraction.cc:24,33,327; cost_functor.h:24,112;
+  lidar_odometry.cc:270; knn_surfel_matcher.h:37-41),
+- plus the static capacities the TPU build needs for shape-static jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class WildcatConfig:
+    # ----- IMU noise model (lio_config.h:10-14) -----
+    gyroscope_noise_density: float = 0.00015198973532354657
+    accelerometer_noise_density: float = 0.006308226052016165
+    gyroscope_random_walk: float = 0.00011673723527962174
+    accelerometer_random_walk: float = 2.664506559330434e-06
+    imu_factor_weight: float = 0.01
+
+    # ----- Preprocess (lio_config.h:18-29) -----
+    max_range: float = 120.0
+    min_range: float = 0.3
+    # Axis-aligned blind box around the sensor, in the IMU frame.
+    blind_box_min: Tuple[float, float, float] = (-0.8, -0.5, -0.4)
+    blind_box_max: Tuple[float, float, float] = (0.3, 0.5, 0.4)
+    # lidar -> imu extrinsic for the Hilti rig: rotation matrix rows + translation.
+    ext_lidar2imu_rot: Tuple[float, ...] = (
+        -5.32125e-08, -1.0, 0.0,
+        -1.0, -5.32125e-08, -0.0,
+        0.0, 0.0, -1.0,
+    )
+    ext_lidar2imu_pos: Tuple[float, float, float] = (-0.001, -0.00855, 0.055)
+
+    # ----- Windows (lio_config.h:32-36) -----
+    imu_rate: float = 200.0
+    sample_dt: float = 0.08
+    fixed_window_duration: float = 20.0
+    sliding_window_duration: float = 6.0
+    sweep_duration: float = 0.5
+
+    # ----- Optimization (lio_config.h:39-41; lidar_odometry.cc:270,551-561) -----
+    gravity_norm: float = 9.81
+    outer_iter_num_max: int = 1
+    inner_iter_num_max: int = 100
+    cauchy_loss_scale: float = 0.4          # lidar_odometry.cc:270
+    surfel_sigma_floor: float = 0.05 / 6.0  # cost_functor.h:24,112
+
+    # ----- Surfel extraction (surfel_extraction.cc:24,33,327) -----
+    voxel_size: float = 0.8
+    max_voxel_depth: int = 2                 # octree max_layer
+    min_points_per_plane: int = 20           # layer_point_size + cluster min size
+    planer_threshold: float = 0.01           # min eigenvalue bound
+    min_plane_likeness: float = 0.1          # 2(l_mid-l_min)/sum(l)
+    cluster_time_gap: float = 0.05           # ClusterSurfels time split
+
+    # ----- Correspondence search (knn_surfel_matcher.h:37-41) -----
+    match_center_dist: float = 1.0
+    match_angular_dist: float = 5.0 * math.pi / 180.0
+    match_surfel_dist: float = 0.1
+    match_knn: int = 10
+    match_time_diff: float = 0.06
+
+    # ----- TPU static capacities (no reference analog; sized from the data regime:
+    # 6 s window / 0.08 s samples = 76 states, 200 Hz imu * 6 s = 1201 states) -----
+    max_points_per_sweep: int = 65536
+    max_sample_states: int = 80
+    max_imu_states: int = 1280
+    max_surfels_per_sweep: int = 1024
+    max_surfels_sliding: int = 8192
+    max_surfels_fixed: int = 16384
+    max_correspondences: int = 8192
+    max_voxels_per_sweep: int = 8192
+    max_leaves_per_sweep: int = 16384
+
+    # ----- Solver details (TPU Gauss-Newton replacing Ceres LM) -----
+    gn_max_iterations: int = 100
+    gn_initial_lambda: float = 1e-4
+    gn_lambda_up: float = 4.0
+    gn_lambda_down: float = 2.0
+    gn_min_relative_decrease: float = 1e-3
+    gn_function_tolerance: float = 1e-6
+    dtype: str = "float32"
+
+    # ----- Derived cost weights (lio_config.h:42-45) -----
+    @property
+    def weight_gyr(self) -> float:
+        return 1.0 / (self.gyroscope_noise_density * math.sqrt(self.imu_rate)) * self.imu_factor_weight
+
+    @property
+    def weight_acc(self) -> float:
+        return 1.0 / (self.accelerometer_noise_density * math.sqrt(self.imu_rate)) * self.imu_factor_weight
+
+    @property
+    def weight_bg(self) -> float:
+        return 1.0 / (self.gyroscope_random_walk / math.sqrt(self.imu_rate)) * self.imu_factor_weight
+
+    @property
+    def weight_ba(self) -> float:
+        return 1.0 / (self.accelerometer_random_walk / math.sqrt(self.imu_rate)) * self.imu_factor_weight
+
+    @property
+    def imu_dt(self) -> float:
+        return 1.0 / self.imu_rate
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> "WildcatConfig":
+        d = json.loads(s)
+        d = {k: tuple(v) if isinstance(v, list) else v for k, v in d.items()}
+        return cls(**d)
+
+    def replace(self, **kw) -> "WildcatConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,187 @@
+"""IMU handling: uniform-rate resampling (host) and on-device state propagation.
+
+Covers:
+- ``ImuResampler`` (sensor/imu_resampler.h:11-54) -> :class:`ImuResampler` (host,
+  numpy; vectorized over whole chunks instead of the reference's 2-deep queue).
+- ``PredictPoseOfNewImuState`` (lidar_odometry.cc:112-123) -> :func:`propagate`,
+  a ``lax.scan`` over the velocity-free second-difference recurrence
+  ``rot3 = rot2 * Exp(((gyr2+gyr3)/2 - bg) dt)``,
+  ``pos3 = (R1 (acc1 - ba) + grav) dt^2 + 2 pos2 - pos1``.
+- pose interpolation at query times (lerp pos / slerp rot between bracketing IMU
+  states) used by ``UndistortSweep`` (lidar_odometry.cc:143-158), sample-state
+  creation (:445-453) and ``UpdateSurfelPoses`` (:160-170) -> :func:`interp_pose`.
+
+Grid-exactness design note: the reference computes sample-state times as
+``t0 + i * sample_dt`` while IMU targets accumulate ``prev + 1/rate``; their
+floating-point drift is guarded by CHECKs (lidar_odometry.cc:119,209-210). Here
+sample states sit *exactly on the IMU grid* at stride ``round(sample_dt * rate)``
+(16 ticks at 200 Hz / 0.08 s), so all window boundaries are exact and the
+uniform-dt precondition of the recurrence holds by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from wildcat_slam_tpu.odometry.states import ImuStates
+from wildcat_slam_tpu.ops import lie
+
+
+class ImuResampler:
+    """Linear-interpolating resampler onto the uniform grid ``t0 + k / rate``.
+
+    Streaming host-side equivalent of sensor/imu_resampler.h:11-54: the first raw
+    sample passes through and anchors the grid; each later grid target is lerped
+    from its bracketing raw pair. (The reference emits at most one sample per raw
+    message because the driver calls Advance once per Add, wildcat_slam_node.cc:38-43;
+    for raw rate >= target rate — the practical regime — the outputs are identical.)
+    """
+
+    def __init__(self, rate: float):
+        self.rate = float(rate)
+        self._grid_k = 0          # next grid index to emit
+        self._t0 = None           # grid anchor (first raw timestamp)
+        self._prev = None         # last raw sample (t, acc, gyr)
+
+    def add(self, t: float, acc, gyr):
+        """Feed one raw sample; returns list of (t, acc, gyr) resampled outputs."""
+        acc = np.asarray(acc, np.float64)
+        gyr = np.asarray(gyr, np.float64)
+        out = []
+        if self._t0 is None:
+            self._t0 = float(t)
+            self._prev = (float(t), acc, gyr)
+            self._grid_k = 1
+            return [(float(t), acc, gyr)]
+        tp, accp, gyrp = self._prev
+        while True:
+            target = self._t0 + self._grid_k / self.rate
+            if target > t:
+                break
+            if target >= tp:
+                f = 0.0 if t == tp else (target - tp) / (t - tp)
+                out.append((target, (1 - f) * accp + f * acc, (1 - f) * gyrp + f * gyr))
+            self._grid_k += 1
+        self._prev = (float(t), acc, gyr)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Device-side propagation and interpolation
+# ---------------------------------------------------------------------------
+
+def propagate(
+    imu: ImuStates,
+    new_t: jnp.ndarray,     # (K,) window-relative times of new resampled samples
+    new_acc: jnp.ndarray,   # (K, 3)
+    new_gyr: jnp.ndarray,   # (K, 3)
+    new_count: jnp.ndarray, # () int32 — first new_count entries are valid
+    bg: jnp.ndarray,
+    ba: jnp.ndarray,
+    grav: jnp.ndarray,
+    dt: float,
+) -> ImuStates:
+    """Append K new IMU states predicted by the second-difference recurrence
+    (lidar_odometry.cc:112-123,405-427). Requires imu.count >= 2.
+    """
+    k = new_t.shape[0]
+    c = imu.count
+    zero = jnp.asarray(0, jnp.int32)
+
+    def get(i):
+        i = i.astype(jnp.int32)
+        return (
+            jax.lax.dynamic_slice(imu.pos, (i, zero), (1, 3))[0],
+            jax.lax.dynamic_slice(imu.rot, (i, zero), (1, 4))[0],
+            jax.lax.dynamic_slice(imu.acc, (i, zero), (1, 3))[0],
+            jax.lax.dynamic_slice(imu.gyr, (i, zero), (1, 3))[0],
+        )
+
+    s1 = get(c - 2)  # (pos, rot, acc, gyr) of the second-to-last state
+    s2 = get(c - 1)
+
+    dt2 = jnp.asarray(dt * dt, imu.pos.dtype)
+
+    def step(carry, x):
+        (p1, r1, a1, _g1), (p2, r2, a2, g2) = carry
+        acc3, gyr3, valid = x
+        r3 = lie.quat_mul(r2, lie.exp_quat(((g2 + gyr3) / 2.0 - bg) * dt))
+        p3 = (lie.quat_rotate(r1, a1 - ba) + grav) * dt2 + 2.0 * p2 - p1
+        new_state = (p3, r3, acc3, gyr3)
+        keep = lambda new, old: jnp.where(valid, new, old)
+        carry_out = (
+            jax.tree_util.tree_map(keep, (p2, r2, a2, g2), (p1, r1, a1, _g1)),
+            jax.tree_util.tree_map(keep, new_state, (p2, r2, a2, g2)),
+        )
+        return carry_out, (p3, r3)
+
+    valid = jnp.arange(k) < new_count
+    (_, _), (pos_new, rot_new) = jax.lax.scan(step, (s1, s2), (new_acc, new_gyr, valid))
+
+    # Write the K results at offset `count`; only the valid prefix advances count.
+    def put(buf, vals):
+        starts = (c.astype(jnp.int32),) + (zero,) * (buf.ndim - 1)
+        return jax.lax.dynamic_update_slice(buf, vals.astype(buf.dtype), starts)
+
+    # Mask invalid rows to keep padding inert (values past count are never read).
+    return imu.replace(
+        t=put(imu.t, new_t),
+        pos=put(imu.pos, pos_new),
+        rot=put(imu.rot, rot_new),
+        acc=put(imu.acc, new_acc),
+        gyr=put(imu.gyr, new_gyr),
+        count=c + new_count,
+    )
+
+
+def init_from_first_two(
+    imu: ImuStates,
+    t: jnp.ndarray,    # (2,)
+    acc: jnp.ndarray,  # (2, 3)
+    gyr: jnp.ndarray,  # (2, 3)
+    dt: float,
+) -> ImuStates:
+    """Window bootstrap (lidar_odometry.cc:369-386): state 0 at identity/origin,
+    state 1 rotated by the averaged gyro over one tick."""
+    rot1 = lie.exp_quat(((gyr[0] + gyr[1]) / 2.0) * dt)
+    rot = jnp.stack([lie.quat_identity((), rot1.dtype), rot1])
+    return imu.replace(
+        t=imu.t.at[:2].set(t.astype(imu.t.dtype)),
+        rot=imu.rot.at[:2].set(rot.astype(imu.rot.dtype)),
+        pos=imu.pos.at[:2].set(0.0),
+        acc=imu.acc.at[:2].set(acc.astype(imu.acc.dtype)),
+        gyr=imu.gyr.at[:2].set(gyr.astype(imu.gyr.dtype)),
+        count=jnp.asarray(2, jnp.int32),
+    )
+
+
+def bracket_indices(imu: ImuStates, query_t: jnp.ndarray) -> jnp.ndarray:
+    """Index ``idx`` of the first valid IMU state with ``t >= query`` (the
+    reference's std::lower_bound, lidar_odometry.cc:148), clamped to [1, count-1]
+    so (idx-1, idx) always brackets within the valid range."""
+    big = jnp.asarray(jnp.finfo(imu.t.dtype).max, imu.t.dtype)
+    t_pad = jnp.where(imu.mask, imu.t, big)
+    idx = jnp.searchsorted(t_pad, query_t.astype(imu.t.dtype), side="left")
+    return jnp.clip(idx, 1, imu.count - 1)
+
+
+def interp_pose(imu: ImuStates, query_t: jnp.ndarray):
+    """Pose at query times by lerp(pos)/slerp(rot) between bracketing IMU states
+    (lidar_odometry.cc:151-153,165-167,447-449). Returns (pos (Q,3), rot (Q,4))."""
+    idx = bracket_indices(imu, query_t)
+    t0 = imu.t[idx - 1]
+    t1 = imu.t[idx]
+    f = ((query_t.astype(imu.t.dtype) - t0) / jnp.maximum(t1 - t0, jnp.finfo(imu.t.dtype).tiny))
+    f = jnp.clip(f, 0.0, 1.0).astype(imu.pos.dtype)
+    pos = imu.pos[idx - 1] * (1.0 - f)[..., None] + imu.pos[idx] * f[..., None]
+    rot = lie.quat_slerp(imu.rot[idx - 1], imu.rot[idx], f)
+    return pos, rot
+
+
+def undistort_points(imu: ImuStates, pt_t: jnp.ndarray, pt_xyz: jnp.ndarray):
+    """UndistortSweep (lidar_odometry.cc:143-158): transform each point into the
+    world frame using the interpolated pose at its timestamp."""
+    pos, rot = interp_pose(imu, pt_t)
+    return lie.quat_rotate(rot, pt_xyz) + pos

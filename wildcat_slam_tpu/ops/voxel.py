@@ -1,0 +1,40 @@
+"""Voxel key packing and masked segment utilities.
+
+TPU-native replacement for the reference's ``absl::flat_hash_map<VoxelLoc, OctoTree*>``
+(surfel_extraction.h:55-81,125-134): instead of pointer-chasing hash maps, points are
+given packed integer cell keys, stably sorted, and reduced with segment sums. Stable
+sort preserves the input time order inside each cell, which is what the reference's
+insertion order gives its octree nodes.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# 20 bits per axis, biased: supports cell coords in [-2^19, 2^19). At the finest
+# 0.2 m cells that is a +-104 km world span — far beyond lidar range.
+_BITS = 20
+_BIAS = 1 << (_BITS - 1)
+_MASK = (1 << _BITS) - 1
+
+
+def pack_cells(cell_xyz: jnp.ndarray) -> jnp.ndarray:
+    """Pack integer cell coords (..., 3) int32 into a single int64 key (collision-free,
+    unlike the reference's modular hash at surfel_extraction.h:72-81)."""
+    c = cell_xyz.astype(jnp.int64) + _BIAS
+    return (c[..., 0] << (2 * _BITS)) | (c[..., 1] << _BITS) | c[..., 2]
+
+
+def cell_coords(points: jnp.ndarray, voxel_size: float) -> jnp.ndarray:
+    """floor(p / voxel_size) per axis (VoxelLoc ctor, surfel_extraction.h:59-64)."""
+    return jnp.floor(points / voxel_size).astype(jnp.int32)
+
+
+def segment_ids_from_sorted_keys(sorted_keys: jnp.ndarray):
+    """Given sorted keys (N,), return (segment_id (N,), is_start (N,)).
+    Segment ids are 0-based and increase with key order."""
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_keys[1:] != sorted_keys[:-1]]
+    )
+    seg_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    return seg_id, is_start
