@@ -1,0 +1,136 @@
+"""Surfel correspondence search.
+
+TPU-native replacement for ``KnnSurfelMatcher`` (knn_surfel_matcher.{h,cc}): the
+FLANN KD-tree over 6-D descriptors becomes one dense masked distance computation
+(a (Q, T) matmul on the MXU — window surfel counts are 10^2..10^4, where a
+brute-force tile beats tree construction) followed by ``lax.top_k``; the
+reference's sequential accept loop becomes k parallel acceptance rounds.
+
+Descriptor (knn_surfel_matcher.cc:91-98): center / kCenterDistThreshold (1 m)
+concatenated with world normal / kAngularDistThreshold (5 deg).
+
+Acceptance filters per candidate, in rank order (knn_surfel_matcher.cc:25-47):
+1. |t_q - t_c| >= 0.06 s,
+2. angular distance of world normals <= 5 deg,
+3. |n_q . (c_q - c_c)| <= 0.1 m,
+4. the unordered pair not accepted already; first passing candidate wins.
+
+Round-parallel equivalence: the reference walks queries sequentially, skipping a
+candidate whose pair already exists and falling through to the next candidate.
+Here round r lets every still-unmatched query propose its rank-r candidate;
+duplicate pairs are detected against the accepted state (partner arrays), and
+when two queries mutually accept each other in the same round the lower index
+wins and the higher retries its next candidate in the following round — exactly
+the fall-through the sequential loop produces. Pairs are emitted time-ordered
+(s1.t < s2.t, knn_surfel_matcher.cc:41-45).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("k", "max_pairs", "self_match"))
+def match_surfels(
+    cq: jnp.ndarray, nq: jnp.ndarray, tq: jnp.ndarray, vq: jnp.ndarray,
+    ct: jnp.ndarray, nt: jnp.ndarray, tt: jnp.ndarray, vt: jnp.ndarray,
+    *,
+    center_dist: float = 1.0,
+    angular_dist: float = 5.0 * jnp.pi / 180.0,
+    surfel_dist: float = 0.1,
+    time_diff: float = 0.06,
+    k: int = 10,
+    max_pairs: int = 8192,
+    self_match: bool = False,
+):
+    """Match query surfels (cq centers, nq world normals, tq times, vq valid)
+    against targets. For ``self_match=True`` query and target must be the same
+    arrays (the sliding-window self-match, lidar_odometry.cc:532-534).
+
+    Returns (iq, it, valid): (max_pairs,) index arrays into query/target with a
+    validity mask; pairs are ordered so query time < target time is NOT implied —
+    instead (iq, it) preserve roles and ``swap`` is applied by the caller via
+    times. (The emitted pair always has t[s1] < t[s2] when consumed by factors.)
+    """
+    dtype = cq.dtype
+    q_cap, t_cap = cq.shape[0], ct.shape[0]
+
+    dq = jnp.concatenate([cq / center_dist, nq / angular_dist], axis=1)
+    dt_ = jnp.concatenate([ct / center_dist, nt / angular_dist], axis=1)
+    # push invalid targets far away so they never enter the top-k
+    far = jnp.asarray(1e6, dtype)
+    dt_ = jnp.where(vt[:, None], dt_, far)
+    dq = jnp.where(vq[:, None], dq, -far)  # invalid queries match nothing
+
+    # (Q, T) squared distances via the MXU
+    d2 = (
+        jnp.sum(dq * dq, axis=1)[:, None]
+        - 2.0 * dq @ dt_.T
+        + jnp.sum(dt_ * dt_, axis=1)[None, :]
+    )
+    neg_d2, knn = jax.lax.top_k(-d2, k)  # (Q, k) candidate target indices
+
+    # Per-candidate filter mask (vectorized once for all ranks).
+    cand_t = tt[knn]                            # (Q, k)
+    cand_c = ct[knn]
+    cand_n = nt[knn]
+    cand_v = vt[knn]
+    dt_abs = jnp.abs(cand_t - tq[:, None])
+    cosang = jnp.clip(jnp.sum(nq[:, None, :] * cand_n, axis=-1), -1.0, 1.0)
+    ang = jnp.arccos(cosang)
+    pp = jnp.abs(jnp.sum(nq[:, None, :] * (cq[:, None, :] - cand_c), axis=-1))
+    ok = (
+        cand_v
+        & vq[:, None]
+        & (dt_abs >= time_diff)
+        & (ang <= angular_dist)
+        & (pp <= surfel_dist)
+    )
+
+    qidx = jnp.arange(q_cap, dtype=jnp.int32)
+    no_partner = jnp.int32(-1)
+
+    def round_step(r, state):
+        matched, partner = state
+        cand = knn[:, r].astype(jnp.int32)
+        ok_r = ok[:, r] & ~matched
+
+        if self_match:
+            # duplicate pair {q, cand}: cand already matched with partner == q
+            dup = matched[cand] & (partner[cand] == qidx)
+            ok_r = ok_r & ~dup
+
+        new_partner = jnp.where(ok_r, cand, partner)
+        new_matched = matched | ok_r
+
+        if self_match:
+            # mutual acceptance in this round: i <-> j both proposed; keep the
+            # lower index, the higher retries next round (sequential fall-through)
+            prop = jnp.where(ok_r, cand, no_partner)
+            mutual = ok_r & (prop[cand] == qidx) & (cand < qidx)
+            new_partner = jnp.where(mutual, partner, new_partner)
+            new_matched = jnp.where(mutual, matched, new_matched)
+
+        return new_matched, new_partner
+
+    matched = jnp.zeros((q_cap,), bool)
+    partner = jnp.full((q_cap,), no_partner, jnp.int32)
+    matched, partner = jax.lax.fori_loop(0, k, round_step, (matched, partner))
+
+    if self_match:
+        # mutual pair recorded from both sides can only remain if accepted in
+        # different rounds both directions — emit once (lower index emits)
+        both = matched & (partner >= 0) & (partner[jnp.clip(partner, 0, q_cap - 1)] == qidx)
+        emit = matched & ~(both & (partner < qidx))
+    else:
+        emit = matched
+
+    # compact to max_pairs: valid pairs first, stable
+    order = jnp.argsort(~emit, stable=True)[:max_pairs]
+    iq = qidx[order]
+    it = jnp.where(emit[order], partner[order], 0).astype(jnp.int32)
+    valid = emit[order]
+    return iq, it, valid
