@@ -1,0 +1,97 @@
+"""End-to-end odometry on synthetic sequences — the integration tests the
+reference never had (its de-facto integration test was eyeballing rviz on Hilti
+bags, SURVEY.md §4). Ground truth is exact, so tight ATE bounds apply."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from wildcat_slam_tpu.config import WildcatConfig
+from wildcat_slam_tpu.io.synthetic import SyntheticSequence, ate_rmse
+from wildcat_slam_tpu.io.trajectory import load_tum, save_tum
+from wildcat_slam_tpu.odometry.pipeline import LidarOdometry
+
+
+def _run(seq, cfg):
+    lo = LidarOdometry(cfg)
+    imu_iter = iter(seq.imu)
+    pending = next(imu_iter, None)
+    for ts, pl in seq.scans:
+        while pending is not None and pending[0] <= ts[-1] + 0.01:
+            lo.add_imu(*pending)
+            pending = next(imu_iter, None)
+        lo.add_scan(ts, pl)
+    return lo
+
+
+def _small_cfg(**kw):
+    base = dict(
+        max_points_per_sweep=16384,
+        max_surfels_per_sweep=512,
+        max_surfels_sliding=2048,
+        max_surfels_fixed=2048,
+        max_correspondences=2048,
+        max_leaves_per_sweep=4096,
+        max_imu_states=640,
+        max_sample_states=48,
+        inner_iter_num_max=25,
+    )
+    base.update(kw)
+    return WildcatConfig(**base)
+
+
+class TestEndToEnd:
+    def test_short_sequence_ate(self):
+        seq = SyntheticSequence(duration=1.6, points_per_scan=4000, room_half=4.0, seed=0)
+        lo = _run(seq, _small_cfg())
+        assert lo.sweep_id >= 3
+        err = ate_rmse(lo.trajectory, lambda t: seq.gt_pose(t)[0], align=False)
+        # exact-consistency IMU + mm-noise lidar: expect mm-level tracking
+        assert err < 0.02, f"ATE {err}"
+        # solver must actually converge, not just run out of iterations
+        assert all(np.isfinite(float(s["final_cost"])) for s in lo.stats)
+        assert all(int(s["n_new_surfels"]) > 50 for s in lo.stats)
+
+    def test_trajectory_export_roundtrip(self, tmp_path):
+        seq = SyntheticSequence(duration=1.6, points_per_scan=4000, room_half=4.0, seed=1)
+        lo = _run(seq, _small_cfg())
+        path = str(tmp_path / "traj.tum")
+        save_tum(path, lo.trajectory)
+        loaded = load_tum(path)
+        assert len(loaded) == len(lo.trajectory)
+        np.testing.assert_allclose(loaded[0][1], lo.trajectory[0][1], atol=1e-8)
+        np.testing.assert_allclose(loaded[-1][2], lo.trajectory[-1][2], atol=1e-8)
+
+    def test_imu_gap_before_points_is_handled(self):
+        # sync must drop IMU samples arriving before the first lidar point
+        seq = SyntheticSequence(duration=1.6, points_per_scan=4000, room_half=4.0, seed=2)
+        cfg = _small_cfg()
+        lo = LidarOdometry(cfg)
+        imu_iter = iter(seq.imu)
+        pending = next(imu_iter, None)
+        scans = seq.scans[3:]  # points start at 0.3 s: early IMU must be dropped
+        for ts, pl in scans:
+            while pending is not None and pending[0] <= ts[-1] + 0.01:
+                lo.add_imu(*pending)
+                pending = next(imu_iter, None)
+            lo.add_scan(ts, pl)
+        assert lo.sweep_id >= 2
+        # trajectory positions must stay bounded (the room is 8 m wide)
+        for _, p, _ in lo.trajectory:
+            assert np.linalg.norm(p) < 10
+
+
+class TestWindowBehavior:
+    def test_sliding_window_trims(self):
+        # after > 6 s the sample window must stop growing and fix_first unlatches
+        seq = SyntheticSequence(duration=7.5, points_per_scan=1500, room_half=4.0, seed=3)
+        lo = _run(seq, _small_cfg(max_sample_states=96, inner_iter_num_max=8))
+        assert lo.sweep_id >= 14
+        assert not lo.fix_first
+        span = lo.sample_times[-1] - lo.sample_times[0]
+        assert span <= 6.0 + 0.081
+        assert int(lo.state.sample.count) == len(lo.sample_times)
+        # surfels migrated into the fixed window
+        assert int(lo.state.fix.count) > 0
+        # matching against the fixed window kicked in
+        assert any(int(s["n_pairs_fix"]) > 0 for s in lo.stats)

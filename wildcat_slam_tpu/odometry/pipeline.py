@@ -1,0 +1,397 @@
+"""The odometry pipeline: host feeder + one jitted per-sweep window solve.
+
+Covers ``LidarOdometry`` (lidar_odometry.{h,cc}) and the driver loop
+(wildcat_slam_node.cc): the host side buffers sensor data, decides sweep
+boundaries, and feeds padded arrays; the device side runs the whole per-sweep
+step — IMU propagation, sample-state creation, undistortion, surfel extraction,
+window merging, correspondence matching, the LM solve, and the post-solve state
+updates — as ONE jitted, shape-static function (SURVEY.md §3.3: the device
+boundary wraps exactly steps PredictImuStates..UpdateSamplePoses).
+
+Host/device split of time bookkeeping: absolute timestamps stay f64 on the host
+(device f32 cannot hold them); the device sees window-relative f32 times. All
+data-dependent *counts* (new sample states, IMU ticks to feed, sample states to
+drop) are computed host-side on the exact f64 grid and passed as scalars, so
+borderline f32 comparisons on device can never diverge from the host's view.
+
+Sweep orchestration mirrors AddLidarScan (lidar_odometry.cc:487-605):
+1. extrinsic transform + range/blind-box filter on arrival (:489-496, host),
+2. head sync of the two streams (:457-485, host),
+3. wait until points and IMU cover sweep_end = first_point_t + sweep_duration
+   (:503-509; we additionally wait one extra IMU tick past the last new sample
+   state so the window always carries exactly one trailing IMU state),
+4. process_sweep on device,
+5. trajectory append (the reference instead publishes TF, :597-602).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from wildcat_slam_tpu.config import WildcatConfig
+from wildcat_slam_tpu.odometry import corrections as cor_mod
+from wildcat_slam_tpu.odometry import factors as fmod
+from wildcat_slam_tpu.odometry import imu as imu_mod
+from wildcat_slam_tpu.odometry import window as win_mod
+from wildcat_slam_tpu.odometry.match import match_surfels
+from wildcat_slam_tpu.odometry.solver import solve_window
+from wildcat_slam_tpu.odometry.states import ImuStates, SampleStates, Surfels
+from wildcat_slam_tpu.odometry.surfel import extract_surfels
+from wildcat_slam_tpu.ops import lie
+
+
+@struct.dataclass
+class WindowState:
+    sample: SampleStates
+    imu: ImuStates
+    sld: Surfels
+    fix: Surfels
+
+    @classmethod
+    def empty(cls, cfg: WildcatConfig, dtype) -> "WindowState":
+        return cls(
+            sample=SampleStates.empty(cfg.max_sample_states, dtype),
+            imu=ImuStates.empty(cfg.max_imu_states, dtype),
+            sld=Surfels.empty(cfg.max_surfels_sliding, dtype),
+            fix=Surfels.empty(cfg.max_surfels_fixed, dtype),
+        )
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def init_window(state: WindowState, imu_t, imu_acc, imu_gyr, cfg: WildcatConfig) -> WindowState:
+    """Window bootstrap from the first two IMU samples
+    (lidar_odometry.cc:369-398): two IMU states, one sample state at the first
+    IMU time, gravity from the first accelerometer direction."""
+    imu = imu_mod.init_from_first_two(state.imu, imu_t, imu_acc, imu_gyr, cfg.imu_dt)
+    a0 = imu_acc[0]
+    grav = -cfg.gravity_norm * a0 / jnp.linalg.norm(a0)
+    sample = state.sample.replace(
+        t=state.sample.t.at[0].set(imu_t[0].astype(state.sample.t.dtype)),
+        rot=state.sample.rot.at[0].set(imu.rot[0]),
+        pos=state.sample.pos.at[0].set(imu.pos[0]),
+        count=jnp.asarray(1, jnp.int32),
+        grav=grav.astype(state.sample.grav.dtype),
+    )
+    return state.replace(sample=sample, imu=imu)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def process_sweep(
+    state: WindowState,
+    # IMU feed: padded (K,) arrays of resampled samples, n valid
+    imu_t, imu_acc, imu_gyr, imu_n,
+    # new sample-state times (on the IMU grid), n valid
+    sample_t, sample_n,
+    # sweep points (IMU frame), padded (P, 3)/(P,), n valid
+    pts, pts_t, pts_n,
+    # host-computed window control
+    n_sample_drop, n_imu_drop, fix_first_pos,
+    cfg: WildcatConfig,
+):
+    """One full sweep step on device. Returns (state, outputs dict)."""
+    sample, imu = state.sample, state.imu
+    dtype = sample.pos.dtype
+
+    # 1. IMU propagation with the back sample state's biases (cc:405-427)
+    sc = sample.count.astype(jnp.int32)
+    back_cor = jax.lax.dynamic_slice(sample.cor, (sc - 1, jnp.asarray(0, jnp.int32)), (1, 12))[0]
+    bg, ba = back_cor[6:9], back_cor[9:12]
+    imu = imu_mod.propagate(imu, imu_t, imu_acc, imu_gyr, imu_n, bg, ba, sample.grav, cfg.imu_dt)
+
+    # 2. new sample states (cc:429-453)
+    sample = win_mod.add_sample_states(sample, imu, sample_t, sample_n)
+
+    # 3. undistort sweep (cc:518-520)
+    pts_valid = jnp.arange(pts.shape[0]) < pts_n
+    pts_world = imu_mod.undistort_points(imu, pts_t, pts)
+
+    # 4. surfel extraction + pose attachment (cc:522-527)
+    sweep_surf = extract_surfels(pts_world, pts_t, pts_valid, cfg)
+    new_surfels = cor_mod.attach_surfel_poses(
+        sweep_surf["t"], sweep_surf["center"], sweep_surf["cov"], sweep_surf["norm"],
+        sweep_surf["resolution"], sweep_surf["std"], sweep_surf["valid"], imu,
+    )
+    sld = win_mod.merge_surfels_into_window(state.sld, new_surfels)
+    fix = state.fix
+
+    stats = {}
+    for _ in range(cfg.outer_iter_num_max):  # cc:529 (default 1)
+        # 5. correspondences (cc:530-538)
+        c_sld, n_sld = sld.center_world(), sld.norm_world()
+        c_fix, n_fix = fix.center_world(), fix.norm_world()
+        iq_s, it_s, pv_s = match_surfels(
+            c_sld, n_sld, sld.t, sld.valid, c_sld, n_sld, sld.t, sld.valid,
+            center_dist=cfg.match_center_dist, angular_dist=cfg.match_angular_dist,
+            surfel_dist=cfg.match_surfel_dist, time_diff=cfg.match_time_diff,
+            k=cfg.match_knn, max_pairs=cfg.max_correspondences, self_match=True,
+        )
+        iq_f, it_f, pv_f = match_surfels(
+            c_sld, n_sld, sld.t, sld.valid, c_fix, n_fix, fix.t, fix.valid,
+            center_dist=cfg.match_center_dist, angular_dist=cfg.match_angular_dist,
+            surfel_dist=cfg.match_surfel_dist, time_diff=cfg.match_time_diff,
+            k=cfg.match_knn, max_pairs=cfg.max_correspondences, self_match=False,
+        )
+
+        # 6. factors (cc:543-545)
+        sfac_b = fmod.build_surfel_factors(
+            sld, sld, iq_s, it_s, pv_s, sample, cfg.surfel_sigma_floor, target_optimized=True)
+        sfac_u = fmod.build_surfel_factors(
+            sld, fix, iq_f, it_f, pv_f, sample, cfg.surfel_sigma_floor, target_optimized=False)
+        sfac = jax.tree_util.tree_map(lambda a, b: jnp.concatenate([a, b], 0), sfac_b, sfac_u)
+        ifac = fmod.build_imu_factors(imu, sample, max_factors=cfg.max_imu_states)
+
+        # 7. solve (cc:540-562)
+        weights = (cfg.weight_gyr, cfg.weight_acc, cfg.weight_bg, cfg.weight_ba)
+        sample, sstats = solve_window(
+            sample, sfac, ifac, weights, cfg.imu_dt, sample.grav, fix_first_pos,
+            cauchy_scale=cfg.cauchy_loss_scale, max_iterations=cfg.inner_iter_num_max,
+            init_lambda=cfg.gn_initial_lambda, lambda_up=cfg.gn_lambda_up,
+            lambda_down=cfg.gn_lambda_down, function_tolerance=cfg.gn_function_tolerance,
+        )
+        stats = dict(
+            iterations=sstats.iterations,
+            initial_cost=sstats.initial_cost,
+            final_cost=sstats.final_cost,
+            n_new_surfels=new_surfels.count,
+            n_pairs_sld=jnp.sum(pv_s.astype(jnp.int32)),
+            n_pairs_fix=jnp.sum(pv_f.astype(jnp.int32)),
+        )
+
+        # 8. post-solve updates (cc:564-566)
+        imu = cor_mod.update_imu_poses(sample, imu, cfg.imu_dt)
+        sld = cor_mod.update_surfel_poses(sld, imu)
+        sample = sample.apply_corrections()
+
+    # 9. window trims (cc:574-580); drop counts are host-computed
+    sample2 = sample.replace(
+        t=win_mod._shift_left(sample.t, n_sample_drop),
+        rot=win_mod._shift_left(sample.rot, n_sample_drop),
+        pos=win_mod._shift_left(sample.pos, n_sample_drop),
+        cor=win_mod._shift_left(sample.cor, n_sample_drop),
+        count=sample.count - n_sample_drop,
+    )
+    imu2 = imu.replace(
+        t=win_mod._shift_left(imu.t, n_imu_drop),
+        rot=win_mod._shift_left(imu.rot, n_imu_drop),
+        pos=win_mod._shift_left(imu.pos, n_imu_drop),
+        acc=win_mod._shift_left(imu.acc, n_imu_drop),
+        gyr=win_mod._shift_left(imu.gyr, n_imu_drop),
+        count=imu.count - n_imu_drop,
+    )
+    imu_front_t = imu2.t[0]
+    move = sld.valid & (sld.t < imu_front_t)
+    fix = win_mod.merge_surfels_into_window(fix, sld.replace(valid=move))
+    sld = sld.replace(valid=sld.valid & ~move)
+    small = jnp.asarray(jnp.finfo(dtype).min, dtype)
+    fix_newest = jnp.max(jnp.where(fix.valid, fix.t, small))
+    fix = fix.replace(valid=fix.valid & (fix.t >= fix_newest - cfg.fixed_window_duration))
+
+    # 10. rebase times to the new sample front
+    sample2, imu2, sld, fix, shift = win_mod.rebase_times(sample2, imu2, sld, fix)
+
+    # final undistortion for output (cc:584-595) with post-solve poses
+    pts_world_final = imu_mod.undistort_points(imu2, pts_t - shift, pts)
+
+    pose_idx = sample2.count - 1
+    outputs = dict(
+        pose_pos=sample2.pos[pose_idx],
+        pose_rot=sample2.rot[pose_idx],
+        shift=shift,
+        pts_world=pts_world_final,
+        pts_valid=pts_valid,
+        **stats,
+    )
+    return state.replace(sample=sample2, imu=imu2, sld=sld, fix=fix), outputs
+
+
+class LidarOdometry:
+    """Host-facing odometry frontend (mirrors LidarOdometry + the node driver).
+
+    Usage:
+        lo = LidarOdometry(WildcatConfig())
+        lo.add_imu(t, acc, gyr)          # raw IMU, any rate
+        lo.add_scan(times, points_lidar) # one lidar scan (lidar frame)
+        lo.trajectory                    # [(t, pos(3), quat wxyz(4)), ...]
+    """
+
+    def __init__(self, cfg: WildcatConfig = WildcatConfig(), collect_clouds: bool = False):
+        self.cfg = cfg
+        self.dtype = jnp.float32 if cfg.dtype == "float32" else jnp.float64
+        self.state = WindowState.empty(cfg, self.dtype)
+        self.resampler = imu_mod.ImuResampler(cfg.imu_rate)
+        self.imu_queue: List[tuple] = []   # resampled (t, acc, gyr), f64
+        self.pts_t = np.zeros((0,), np.float64)
+        self.pts_xyz = np.zeros((0, 3), np.float64)
+        self.synced = False
+        self.initialized = False
+        self.epoch: Optional[float] = None
+        self.sample_times: List[float] = []  # absolute f64 times of window sample states
+        self.imu_front_time: Optional[float] = None  # absolute time of device imu[0]
+        self.fix_first = True
+        self.sweep_id = 0
+        self.trajectory: List[tuple] = []
+        self.stats: List[dict] = []
+        self.clouds: List[np.ndarray] = [] if collect_clouds else None
+
+        self._ext_rot = np.asarray(cfg.ext_lidar2imu_rot, np.float64).reshape(3, 3)
+        self._ext_pos = np.asarray(cfg.ext_lidar2imu_pos, np.float64)
+        self._stride = int(round(cfg.sample_dt * cfg.imu_rate))
+
+    # ------------------------------------------------------------------ IMU
+    def add_imu(self, t: float, acc, gyr):
+        for tt, aa, gg in self.resampler.add(t, acc, gyr):
+            self.imu_queue.append((tt, aa, gg))
+
+    # ----------------------------------------------------------------- scan
+    def add_scan(self, times: np.ndarray, points_lidar: np.ndarray):
+        """One lidar scan: per-point absolute times (sorted) + (N, 3) points in
+        the lidar frame. Applies extrinsic + filters (cc:489-496) and buffers."""
+        p = points_lidar @ self._ext_rot.T + self._ext_pos
+        rng = np.linalg.norm(p, axis=1)
+        bb_min = np.asarray(self.cfg.blind_box_min)
+        bb_max = np.asarray(self.cfg.blind_box_max)
+        in_box = np.all((p >= bb_min) & (p <= bb_max), axis=1)
+        keep = (rng >= self.cfg.min_range) & (rng <= self.cfg.max_range) & ~in_box
+        self.pts_t = np.concatenate([self.pts_t, times[keep]])
+        self.pts_xyz = np.concatenate([self.pts_xyz, p[keep]])
+        while self._try_process():
+            pass
+
+    # ------------------------------------------------------------- internals
+    def _sync(self) -> bool:
+        if self.synced:
+            return True
+        if not self.imu_queue or len(self.pts_t) == 0:
+            return False
+        if self.imu_queue[-1][0] < self.pts_t[0]:
+            return False
+        while self.imu_queue and self.imu_queue[0][0] < self.pts_t[0]:
+            self.imu_queue.pop(0)
+        first_imu = self.imu_queue[0][0]
+        keep = self.pts_t >= first_imu
+        self.pts_t, self.pts_xyz = self.pts_t[keep], self.pts_xyz[keep]
+        if len(self.pts_t) == 0:
+            return False
+        self.synced = True
+        return True
+
+    def _try_process(self) -> bool:
+        cfg = self.cfg
+        if not self._sync() or len(self.pts_t) == 0 or not self.imu_queue:
+            return False
+
+        sweep_end = self.pts_t[0] + cfg.sweep_duration
+        if self.pts_t[-1] < sweep_end:
+            return False
+        # wait until IMU covers one tick past the last new sample state
+        if self.imu_queue[-1][0] < sweep_end + 1.0 / cfg.imu_rate:
+            return False
+
+        if not self.initialized:
+            if len(self.imu_queue) < 2:
+                return False
+            (t0, a0, g0), (t1, a1, g1) = self.imu_queue[0], self.imu_queue[1]
+            self.epoch = t0
+            self.state = init_window(
+                self.state,
+                jnp.asarray([0.0, t1 - t0], self.dtype),
+                jnp.asarray(np.stack([a0, a1]), self.dtype),
+                jnp.asarray(np.stack([g0, g1]), self.dtype),
+                cfg,
+            )
+            self.imu_queue = self.imu_queue[2:]
+            self.sample_times = [t0]
+            self.imu_front_time = t0
+            self.initialized = True
+
+        # --- new sample states on the exact grid of resampled IMU times ---
+        last_sample_t = self.sample_times[-1]
+        n_add = int((sweep_end - last_sample_t) / cfg.sample_dt)
+        new_sample_abs = [last_sample_t + cfg.sample_dt * (k + 1) for k in range(n_add)]
+        # snap to the actual resampled grid values to keep exact equality
+        t0_grid = self.resampler._t0
+        rate = cfg.imu_rate
+        new_sample_abs = [t0_grid + round((t - t0_grid) * rate) / rate for t in new_sample_abs]
+        sample_back_abs = new_sample_abs[-1] if new_sample_abs else last_sample_t
+
+        # --- IMU feed: all resampled samples up to one tick past sample back ---
+        feed_until = sample_back_abs + 1.5 / rate  # include back+1 tick, exclude back+2
+        k_feed = 0
+        while k_feed < len(self.imu_queue) and self.imu_queue[k_feed][0] < feed_until:
+            k_feed += 1
+        feed = self.imu_queue[:k_feed]
+        self.imu_queue = self.imu_queue[k_feed:]
+
+        kmax = int(cfg.sweep_duration * cfg.imu_rate) + 32
+        if k_feed > kmax:
+            raise RuntimeError(f"IMU feed {k_feed} exceeds capacity {kmax}")
+        imu_t = np.zeros((kmax,), np.float64)
+        imu_acc = np.zeros((kmax, 3), np.float64)
+        imu_gyr = np.zeros((kmax, 3), np.float64)
+        for i, (tt, aa, gg) in enumerate(feed):
+            imu_t[i], imu_acc[i], imu_gyr[i] = tt - self.epoch, aa, gg
+
+        amax = int(cfg.sweep_duration / cfg.sample_dt) + 8
+        sam_t = np.zeros((amax,), np.float64)
+        for i, tt in enumerate(new_sample_abs):
+            sam_t[i] = tt - self.epoch
+
+        # --- sweep points: all buffered points before the new sample back ---
+        n_pts = int(np.searchsorted(self.pts_t, sample_back_abs, side="left"))
+        n_pts_cap = min(n_pts, cfg.max_points_per_sweep)
+        p_t = np.zeros((cfg.max_points_per_sweep,), np.float64)
+        p_xyz = np.zeros((cfg.max_points_per_sweep, 3), np.float64)
+        p_t[:n_pts_cap] = self.pts_t[:n_pts_cap] - self.epoch
+        p_xyz[:n_pts_cap] = self.pts_xyz[:n_pts_cap]
+        self.pts_t = self.pts_t[n_pts:]
+        self.pts_xyz = self.pts_xyz[n_pts:]
+
+        # --- host-side window trim bookkeeping (exact f64 grid) ---
+        all_samples = self.sample_times + new_sample_abs
+        back = all_samples[-1]
+        thr = cfg.sliding_window_duration + 0.5 * cfg.sample_dt
+        n_drop = sum(1 for t in all_samples if back - t > thr)
+        new_front = all_samples[n_drop]
+        # device imu ticks are contiguous from imu_front_time; drop all before new_front
+        n_imu_drop = max(0, int(round((new_front - self.imu_front_time) * rate)))
+        fix_first = self.fix_first
+
+        state, out = process_sweep(
+            self.state,
+            jnp.asarray(imu_t, self.dtype), jnp.asarray(imu_acc, self.dtype),
+            jnp.asarray(imu_gyr, self.dtype), jnp.asarray(k_feed, jnp.int32),
+            jnp.asarray(sam_t, self.dtype), jnp.asarray(n_add, jnp.int32),
+            jnp.asarray(p_xyz, self.dtype), jnp.asarray(p_t, self.dtype),
+            jnp.asarray(n_pts_cap, jnp.int32),
+            jnp.asarray(n_drop, jnp.int32), jnp.asarray(n_imu_drop, jnp.int32),
+            jnp.asarray(fix_first),
+            cfg,
+        )
+        self.state = state
+
+        # host bookkeeping updates
+        self.sample_times = all_samples[n_drop:]
+        self.imu_front_time = new_front
+        if n_drop > 0:
+            self.fix_first = False
+        shift = float(new_front - self.epoch)
+        self.epoch = new_front
+
+        pose_pos = np.asarray(out["pose_pos"], np.float64)
+        pose_rot = np.asarray(out["pose_rot"], np.float64)
+        self.trajectory.append((back, pose_pos, pose_rot))
+        self.stats.append(
+            {k: np.asarray(v) for k, v in out.items() if k not in ("pts_world", "pts_valid", "pose_pos", "pose_rot")}
+        )
+        if self.clouds is not None:
+            pv = np.asarray(out["pts_valid"])
+            self.clouds.append(np.asarray(out["pts_world"])[pv])
+        self.sweep_id += 1
+        return True
