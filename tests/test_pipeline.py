@@ -85,7 +85,7 @@ class TestWindowBehavior:
     def test_sliding_window_trims(self):
         # after > 6 s the sample window must stop growing and fix_first unlatches
         seq = SyntheticSequence(duration=7.5, points_per_scan=1500, room_half=4.0, seed=3)
-        lo = _run(seq, _small_cfg(max_sample_states=96, inner_iter_num_max=8))
+        lo = _run(seq, _small_cfg(max_sample_states=112, max_imu_states=1792, inner_iter_num_max=8))
         assert lo.sweep_id >= 14
         assert not lo.fix_first
         span = lo.sample_times[-1] - lo.sample_times[0]

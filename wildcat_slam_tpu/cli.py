@@ -1,0 +1,124 @@
+"""Command-line odometry driver — the wildcat_slam_node equivalent.
+
+Reference: src/wildcat_slam_node.cc (gflags: --enable_online_mode,
+--bag_filename, --imu_rate; offline mode iterates the bag and dispatches to the
+odometry callbacks). Here:
+
+    python -m wildcat_slam_tpu.cli --dataset DIR [--traj-out traj.tum]
+        [--surfels-out surfels.ply] [--cloud-out cloud.ply] [--imu-rate 200]
+        [--synthetic SECONDS] [--profile DIR] [--device cpu|tpu]
+
+With --synthetic N a synthetic sequence is generated in memory instead of
+reading --dataset (useful for smoke runs and benchmarking without data).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="Wildcat-TPU lidar-inertial odometry")
+    ap.add_argument("--dataset", help="sequence directory (imu.npz + scans/*.wcs)")
+    ap.add_argument("--synthetic", type=float, default=None, metavar="SECONDS",
+                    help="run on a generated synthetic sequence instead of a dataset")
+    ap.add_argument("--imu-rate", type=float, default=200.0)
+    ap.add_argument("--traj-out", default=None, help="write trajectory (TUM format)")
+    ap.add_argument("--surfels-out", default=None, help="write final sliding-window surfels (PLY)")
+    ap.add_argument("--cloud-out", default=None, help="write accumulated undistorted cloud (PLY)")
+    ap.add_argument("--profile", default=None, help="capture a jax.profiler trace to this dir")
+    ap.add_argument("--device", choices=["default", "cpu"], default="default")
+    ap.add_argument("--max-sweeps", type=int, default=None)
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from wildcat_slam_tpu.config import WildcatConfig
+    from wildcat_slam_tpu.odometry.pipeline import LidarOdometry
+    from wildcat_slam_tpu.utils.profiling import StageTimer, trace
+
+    cfg = WildcatConfig(imu_rate=args.imu_rate)
+    lo = LidarOdometry(cfg, collect_clouds=args.cloud_out is not None)
+    timer = StageTimer()
+
+    def events():
+        if args.synthetic is not None:
+            from wildcat_slam_tpu.io.synthetic import SyntheticSequence
+
+            seq = SyntheticSequence(duration=args.synthetic, points_per_scan=6000, room_half=5.0)
+            i_imu = 0
+            for times, pts in seq.scans:
+                while i_imu < len(seq.imu) and seq.imu[i_imu][0] <= times[-1] + 0.01:
+                    yield ("imu", *seq.imu[i_imu])
+                    i_imu += 1
+                yield ("scan", times, pts)
+        else:
+            if not args.dataset:
+                ap.error("need --dataset or --synthetic")
+            from wildcat_slam_tpu.io.dataset import Dataset
+
+            yield from Dataset(args.dataset)
+
+    def run():
+        t0 = time.perf_counter()
+        for ev in events():
+            if ev[0] == "imu":
+                with timer.stage("imu"):
+                    lo.add_imu(ev[1], ev[2], ev[3])
+            else:
+                before = lo.sweep_id
+                with timer.stage("scan"):
+                    lo.add_scan(ev[1], ev[2])
+                if args.verbose and lo.sweep_id > before:
+                    st = lo.stats[-1]
+                    print(
+                        f"sweep {lo.sweep_id}: surfels={int(st['n_new_surfels'])} "
+                        f"pairs={int(st['n_pairs_sld'])}/{int(st['n_pairs_fix'])} "
+                        f"iters={int(st['iterations'])} "
+                        f"cost {float(st['initial_cost']):.3f}->{float(st['final_cost']):.3f}",
+                        file=sys.stderr,
+                    )
+            if args.max_sweeps and lo.sweep_id >= args.max_sweeps:
+                break
+        return time.perf_counter() - t0
+
+    if args.profile:
+        with trace(args.profile):
+            elapsed = run()
+    else:
+        elapsed = run()
+
+    n = lo.sweep_id
+    print(f"{n} sweeps in {elapsed:.2f}s "
+          f"({cfg.sweep_duration * n / elapsed:.2f}x real-time incl. compile)", file=sys.stderr)
+    if args.verbose:
+        print(timer.report(), file=sys.stderr)
+
+    if args.traj_out and lo.trajectory:
+        from wildcat_slam_tpu.io.trajectory import save_tum
+
+        save_tum(args.traj_out, lo.trajectory)
+        print(f"trajectory ({len(lo.trajectory)} poses) -> {args.traj_out}", file=sys.stderr)
+    if args.surfels_out:
+        from wildcat_slam_tpu.viz.surfel_export import save_surfels_ply
+
+        cnt = save_surfels_ply(args.surfels_out, lo.state.sld)
+        print(f"{cnt} surfels -> {args.surfels_out}", file=sys.stderr)
+    if args.cloud_out and lo.clouds:
+        from wildcat_slam_tpu.viz.surfel_export import save_cloud_ply
+
+        save_cloud_ply(args.cloud_out, np.concatenate(lo.clouds))
+        print(f"cloud -> {args.cloud_out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

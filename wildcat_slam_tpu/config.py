@@ -68,10 +68,12 @@ class WildcatConfig:
     match_time_diff: float = 0.06
 
     # ----- TPU static capacities (no reference analog; sized from the data regime:
-    # 6 s window / 0.08 s samples = 76 states, 200 Hz imu * 6 s = 1201 states) -----
+    # 6 s window / 0.08 s samples = 76 states, 200 Hz imu * 6 s = 1201 states;
+    # capacities must absorb one extra sweep because the window shrink runs
+    # AFTER the new sweep is appended, mirroring the reference's order) -----
     max_points_per_sweep: int = 65536
-    max_sample_states: int = 80
-    max_imu_states: int = 1280
+    max_sample_states: int = 96
+    max_imu_states: int = 1536
     max_surfels_per_sweep: int = 1024
     max_surfels_sliding: int = 8192
     max_surfels_fixed: int = 16384

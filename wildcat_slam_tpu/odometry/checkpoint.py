@@ -1,0 +1,84 @@
+"""Checkpoint / resume of the odometry state.
+
+The reference has NO state serialization — a crash loses the trajectory
+(SURVEY.md §5: the protobuf machinery in its build is vestigial). Here the full
+window state (device pytree) plus the host bookkeeping serialize to one .npz,
+so a long mapping run can resume mid-sequence.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from wildcat_slam_tpu.odometry.pipeline import LidarOdometry, WindowState
+
+
+_HOST_FIELDS = ("synced", "initialized", "epoch", "sample_times", "imu_front_time",
+                "fix_first", "sweep_id")
+
+
+def save(path: str, lo: LidarOdometry) -> None:
+    flat, treedef = jax.tree_util.tree_flatten(jax.device_get(lo.state))
+    host = {f: getattr(lo, f) for f in _HOST_FIELDS}
+    np.savez_compressed(
+        path,
+        __meta__=json.dumps(dict(
+            n_leaves=len(flat),
+            host=host,
+            config=lo.cfg.to_json(),
+            trajectory_len=len(lo.trajectory),
+        )),
+        **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)},
+        traj_t=np.asarray([e[0] for e in lo.trajectory]),
+        traj_pos=np.stack([e[1] for e in lo.trajectory]) if lo.trajectory else np.zeros((0, 3)),
+        traj_rot=np.stack([e[2] for e in lo.trajectory]) if lo.trajectory else np.zeros((0, 4)),
+        imu_queue_t=np.asarray([e[0] for e in lo.imu_queue]),
+        imu_queue_acc=np.stack([e[1] for e in lo.imu_queue]) if lo.imu_queue else np.zeros((0, 3)),
+        imu_queue_gyr=np.stack([e[2] for e in lo.imu_queue]) if lo.imu_queue else np.zeros((0, 3)),
+        pts_t=lo.pts_t,
+        pts_xyz=lo.pts_xyz,
+        resampler=np.asarray([
+            lo.resampler.rate,
+            float(lo.resampler._grid_k),
+            lo.resampler._t0 if lo.resampler._t0 is not None else np.nan,
+        ]),
+        resampler_prev=(
+            np.concatenate([[lo.resampler._prev[0]], lo.resampler._prev[1], lo.resampler._prev[2]])
+            if lo.resampler._prev is not None else np.full(7, np.nan)
+        ),
+    )
+
+
+def load(path: str) -> LidarOdometry:
+    from wildcat_slam_tpu.config import WildcatConfig
+
+    d = np.load(path, allow_pickle=False)
+    meta = json.loads(str(d["__meta__"]))
+    cfg = WildcatConfig.from_json(meta["config"])
+    lo = LidarOdometry(cfg)
+
+    template = jax.tree_util.tree_structure(lo.state)
+    leaves = [jnp.asarray(d[f"leaf_{i}"]) for i in range(meta["n_leaves"])]
+    lo.state = jax.tree_util.tree_unflatten(template, leaves)
+
+    for f in _HOST_FIELDS:
+        setattr(lo, f, meta["host"][f])
+    lo.trajectory = [
+        (float(t), p, q) for t, p, q in zip(d["traj_t"], d["traj_pos"], d["traj_rot"])
+    ]
+    lo.imu_queue = [
+        (float(t), a, g) for t, a, g in zip(d["imu_queue_t"], d["imu_queue_acc"], d["imu_queue_gyr"])
+    ]
+    lo.pts_t = d["pts_t"]
+    lo.pts_xyz = d["pts_xyz"]
+    rate, grid_k, t0 = d["resampler"]
+    lo.resampler.rate = float(rate)
+    lo.resampler._grid_k = int(grid_k)
+    lo.resampler._t0 = None if np.isnan(t0) else float(t0)
+    rp = d["resampler_prev"]
+    lo.resampler._prev = None if np.isnan(rp[0]) else (float(rp[0]), rp[1:4], rp[4:7])
+    return lo

@@ -155,8 +155,8 @@ def build_surfel_factors(
         )
 
 
-def surfel_residuals(fac: SurfelFactors, cor: jnp.ndarray):
-    """Evaluate residuals and Jacobian blocks.
+def surfel_residuals(fac: SurfelFactors, cor: jnp.ndarray, with_jac: bool = True):
+    """Evaluate residuals and (optionally) Jacobian blocks.
 
     Returns (r (M,), jac (M, 4, 12), idx (M, 4)): per-factor contributions onto
     sample blocks (i1l, i1r, i2l, i2r) — unary factors carry zero weight on the
@@ -174,6 +174,8 @@ def surfel_residuals(fac: SurfelFactors, cor: jnp.ndarray):
 
     r = fac.w * jnp.sum(fac.n * (t1 - t2), axis=-1)
     r = jnp.where(fac.valid, r, 0.0)
+    if not with_jac:
+        return r, None, None
 
     wn = fac.w[:, None] * fac.n  # (M, 3)
 
@@ -261,8 +263,9 @@ def build_imu_factors(imu, sample: SampleStates, max_factors: int) -> ImuFactors
     return jax.tree_util.tree_map(lambda x: x[order], fac)
 
 
-def imu_residuals(fac: ImuFactors, cor: jnp.ndarray, weights, dt: float, grav: jnp.ndarray):
-    """Evaluate the 12-dim residual and Jacobian blocks per factor.
+def imu_residuals(fac: ImuFactors, cor: jnp.ndarray, weights, dt: float, grav: jnp.ndarray,
+                  with_jac: bool = True):
+    """Evaluate the 12-dim residual and (optionally) Jacobian blocks per factor.
 
     Residual (cost_functor.h:291-298):
       r[0:3] = w_g ((g1+g2)/2 - Log((Exp(c1) q1)^-1 Exp(c2) q2)/dt - bg(tau1))
@@ -303,6 +306,8 @@ def imu_residuals(fac: ImuFactors, cor: jnp.ndarray, weights, dt: float, grav: j
         axis=1,
     )
     r = jnp.where(fac.valid[:, None], r, 0.0)
+    if not with_jac:
+        return r, None, None
 
     # --- analytic Jacobians wrt the three tau corrections (12x12 each) ---
     eye3 = jnp.eye(3, dtype=dtype)

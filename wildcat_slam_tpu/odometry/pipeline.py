@@ -107,6 +107,7 @@ def process_sweep(
 
     # 2. new sample states (cc:429-453)
     sample = win_mod.add_sample_states(sample, imu, sample_t, sample_n)
+    pred_pos = sample.pos[sample.count - 1]  # predicted back pose (diagnostic)
 
     # 3. undistort sweep (cc:518-520)
     pts_valid = jnp.arange(pts.shape[0]) < pts_n
@@ -118,8 +119,10 @@ def process_sweep(
         sweep_surf["t"], sweep_surf["center"], sweep_surf["cov"], sweep_surf["norm"],
         sweep_surf["resolution"], sweep_surf["std"], sweep_surf["valid"], imu,
     )
-    sld = win_mod.merge_surfels_into_window(state.sld, new_surfels)
-    fix = state.fix
+    # capacity-pressure overflow of the sliding window migrates to the fixed
+    # window (keeps the constraints; the reference's deques are unbounded)
+    sld, sld_overflow = win_mod.merge_surfels_into_window(state.sld, new_surfels)
+    fix, _ = win_mod.merge_surfels_into_window(state.fix, sld_overflow)
 
     stats = {}
     for _ in range(cfg.outer_iter_num_max):  # cc:529 (default 1)
@@ -187,7 +190,7 @@ def process_sweep(
     )
     imu_front_t = imu2.t[0]
     move = sld.valid & (sld.t < imu_front_t)
-    fix = win_mod.merge_surfels_into_window(fix, sld.replace(valid=move))
+    fix, _ = win_mod.merge_surfels_into_window(fix, sld.replace(valid=move))
     sld = sld.replace(valid=sld.valid & ~move)
     small = jnp.asarray(jnp.finfo(dtype).min, dtype)
     fix_newest = jnp.max(jnp.where(fix.valid, fix.t, small))
@@ -201,6 +204,7 @@ def process_sweep(
 
     pose_idx = sample2.count - 1
     outputs = dict(
+        pose_pos_pred=pred_pos,
         pose_pos=sample2.pos[pose_idx],
         pose_rot=sample2.rot[pose_idx],
         shift=shift,
@@ -355,6 +359,17 @@ class LidarOdometry:
 
         # --- host-side window trim bookkeeping (exact f64 grid) ---
         all_samples = self.sample_times + new_sample_abs
+        # capacity checks: the shrink runs after appending, so the transient
+        # counts must fit (silent dynamic_update_slice clamping would corrupt)
+        if len(all_samples) > cfg.max_sample_states:
+            raise RuntimeError(
+                f"sample window {len(all_samples)} exceeds max_sample_states="
+                f"{cfg.max_sample_states}; raise the capacity")
+        n_imu_after = int(round((sample_back_abs - self.imu_front_time) * rate)) + 2
+        if n_imu_after > cfg.max_imu_states:
+            raise RuntimeError(
+                f"imu window {n_imu_after} exceeds max_imu_states="
+                f"{cfg.max_imu_states}; raise the capacity")
         back = all_samples[-1]
         thr = cfg.sliding_window_duration + 0.5 * cfg.sample_dt
         n_drop = sum(1 for t in all_samples if back - t > thr)
@@ -384,14 +399,16 @@ class LidarOdometry:
         shift = float(new_front - self.epoch)
         self.epoch = new_front
 
-        pose_pos = np.asarray(out["pose_pos"], np.float64)
-        pose_rot = np.asarray(out["pose_rot"], np.float64)
+        # fetch all small outputs in ONE transfer (per-scalar fetches cost one
+        # device round-trip each — expensive through the TPU tunnel)
+        small = {k: v for k, v in out.items() if k not in ("pts_world", "pts_valid")}
+        fetched = jax.device_get(small)
+        pose_pos = np.asarray(fetched.pop("pose_pos"), np.float64)
+        pose_rot = np.asarray(fetched.pop("pose_rot"), np.float64)
         self.trajectory.append((back, pose_pos, pose_rot))
-        self.stats.append(
-            {k: np.asarray(v) for k, v in out.items() if k not in ("pts_world", "pts_valid", "pose_pos", "pose_rot")}
-        )
+        self.stats.append(fetched)
         if self.clouds is not None:
-            pv = np.asarray(out["pts_valid"])
-            self.clouds.append(np.asarray(out["pts_world"])[pv])
+            pts_w, pv = jax.device_get((out["pts_world"], out["pts_valid"]))
+            self.clouds.append(np.asarray(pts_w)[np.asarray(pv)])
         self.sweep_id += 1
         return True

@@ -85,9 +85,10 @@ def solve_window(
     free = free & ~frozen_pos0
 
     def eval_cost(cor_flat):
+        # residual-only fast path: no Jacobians on the candidate evaluation
         cor = cor_flat.reshape(s_cap, 12)
-        rs, _, _ = fmod.surfel_residuals(sfac, cor)
-        ri, _, _ = fmod.imu_residuals(ifac, cor, weights, dt, grav)
+        rs, _, _ = fmod.surfel_residuals(sfac, cor, with_jac=False)
+        ri, _, _ = fmod.imu_residuals(ifac, cor, weights, dt, grav, with_jac=False)
         robust = a2 * jnp.log1p(rs * rs / a2)
         return 0.5 * (jnp.sum(robust) + jnp.sum(ri * ri))
 
@@ -113,11 +114,11 @@ def solve_window(
         return h, g
 
     def lm_step(state):
-        cor_flat, lam, cost, k, done = state
-        h, g = build_normal_eqs(cor_flat)
+        # classic LM bookkeeping: (H, g) belong to the current accepted point;
+        # rejected steps only regrow lambda and re-solve — no re-linearization
+        cor_flat, lam, cost, h, g, k, done = state
         d = jnp.clip(jnp.diag(h), 1e-6, 1e32)
         h_damped = h + lam * jnp.diag(d)
-        # Cholesky solve; fall back handled by damping growth on reject
         delta = -jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(h_damped), g)
         new_flat = cor_flat + delta
         new_cost = eval_cost(new_flat)
@@ -130,16 +131,21 @@ def solve_window(
         cost_out = jnp.where(accept, new_cost, cost)
         lam_out = jnp.where(accept, lam / lambda_down, lam * lambda_up)
         lam_out = jnp.clip(lam_out, 1e-12, 1e10)
-        return cor_out, lam_out, cost_out, k + 1, done | new_done
+        # re-linearize only after an accepted, non-final step
+        h_out, g_out = jax.lax.cond(
+            accept & ~new_done, build_normal_eqs, lambda _: (h, g), cor_out
+        )
+        return cor_out, lam_out, cost_out, h_out, g_out, k + 1, done | new_done
 
     def cond(state):
-        _, _, _, k, done = state
-        return (k < max_iterations) & ~done
+        return (state[5] < max_iterations) & ~state[6]
 
     cor0 = sample.cor.reshape(-1)
     cost0 = eval_cost(cor0)
-    init = (cor0, jnp.asarray(init_lambda, dtype), cost0, jnp.asarray(0, jnp.int32), jnp.asarray(False))
-    cor_fin, _, cost_fin, iters, _ = jax.lax.while_loop(cond, lm_step, init)
+    h0, g0 = build_normal_eqs(cor0)
+    init = (cor0, jnp.asarray(init_lambda, dtype), cost0, h0, g0,
+            jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    cor_fin, _, cost_fin, _, _, iters, _ = jax.lax.while_loop(cond, lm_step, init)
 
     out = sample.replace(cor=cor_fin.reshape(s_cap, 12))
     return out, SolveStats(iterations=iters, initial_cost=cost0, final_cost=cost_fin)

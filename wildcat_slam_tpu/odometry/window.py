@@ -62,9 +62,14 @@ def add_sample_states(
     )
 
 
-def merge_surfels_into_window(win: Surfels, new: Surfels, keep_newest: bool = True) -> Surfels:
+def merge_surfels_into_window(win: Surfels, new: Surfels, keep_newest: bool = True):
     """Append a sweep's surfels to a window (lidar_odometry.cc:526). Windows are
-    time-ordered; on overflow the oldest entries are dropped."""
+    time-ordered; on overflow the oldest entries are dropped.
+
+    Returns ``(window, overflow)`` where ``overflow`` has the dropped (oldest)
+    entries marked valid — callers under capacity pressure migrate them to the
+    fixed window instead of losing their constraints (the reference's unbounded
+    deques never drop; this is the bounded-capacity analog)."""
     cap = win.capacity
     both = jax.tree_util.tree_map(lambda a, b: jnp.concatenate([a, b], 0), win, new)
     bigt = jnp.asarray(jnp.finfo(win.t.dtype).max, win.t.dtype)
@@ -77,7 +82,10 @@ def merge_surfels_into_window(win: Surfels, new: Surfels, keep_newest: bool = Tr
         starts = (start.astype(jnp.int32),) + (jnp.asarray(0, jnp.int32),) * (x.ndim - 1)
         return jax.lax.dynamic_slice(x, starts, (cap,) + x.shape[1:])
 
-    return jax.tree_util.tree_map(slice_, both)
+    kept = jax.tree_util.tree_map(slice_, both)
+    dropped_mask = both.valid & (jnp.arange(both.t.shape[0]) < start)
+    overflow = jax.tree_util.tree_map(lambda x: x[:cap], both.replace(valid=dropped_mask[: both.t.shape[0]]))
+    return kept, overflow
 
 
 def shrink_to_fit(
@@ -122,7 +130,7 @@ def shrink_to_fit(
     move = sld.valid & (sld.t < imu_front_t)
     moved = sld.replace(valid=move)
     sld = sld.replace(valid=sld.valid & ~move)
-    fix = merge_surfels_into_window(fix, moved)
+    fix, _ = merge_surfels_into_window(fix, moved)
 
     # 4. fixed-window time trim (reference intent; its own loop is a no-op bug)
     small = jnp.asarray(jnp.finfo(dtype).min, dtype)
