@@ -88,6 +88,9 @@ class WildcatConfig:
     gn_lambda_down: float = 2.0
     gn_min_relative_decrease: float = 1e-3
     gn_function_tolerance: float = 1e-6
+    linear_solver: str = "cholesky"  # or "pcg" (block-Jacobi CG, same speed measured)
+    pcg_iters: int = 48
+    pcg_tol: float = 1e-2  # inexact Newton: LM only needs a descent step
     dtype: str = "float32"
 
     # ----- Derived cost weights (lio_config.h:42-45) -----

@@ -157,6 +157,7 @@ def process_sweep(
             cauchy_scale=cfg.cauchy_loss_scale, max_iterations=cfg.inner_iter_num_max,
             init_lambda=cfg.gn_initial_lambda, lambda_up=cfg.gn_lambda_up,
             lambda_down=cfg.gn_lambda_down, function_tolerance=cfg.gn_function_tolerance,
+            linear_solver=cfg.linear_solver, pcg_iters=cfg.pcg_iters, pcg_tol=cfg.pcg_tol,
         )
         stats = dict(
             iterations=sstats.iterations,

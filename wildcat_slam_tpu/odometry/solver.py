@@ -37,13 +37,50 @@ def _scatter_surfel_rows(jac, idx, s_cap):
     return rows.reshape(m, s_cap * 12)
 
 
-def _scatter_imu_rows(jac, idx, s_cap):
-    """(Mi, 6, 12, 12) blocks at (Mi, 6) indices -> dense rows (Mi*12, S*12)."""
+def _imu_banded_normal_eqs(jac, idx, ri, s_cap):
+    """IMU-factor contribution to (H, g) via banded accumulation.
+
+    An IMU factor's three interpolation times span two ticks — far less than the
+    sample spacing — so all six touched blocks lie in a contiguous 3-block band
+    starting at ``base = min(idx)``. Instead of scattering (Mi*12, S*12) dense
+    rows (tens of MB, the dominant assembly cost), each factor reduces to a
+    (12, 36) band; band outer products segment-sum over base into (S, 36, 36)
+    and a final tiny scatter places the 3x3 block grid into H.
+    """
     mi = jac.shape[0]
-    blocks = jnp.zeros((mi, s_cap, 12, 12), jac.dtype)
-    blocks = blocks.at[jnp.arange(mi)[:, None], idx].add(jac)
-    rows = jnp.transpose(blocks, (0, 2, 1, 3)).reshape(mi * 12, s_cap * 12)
-    return rows
+    dtype = jac.dtype
+    base = jnp.min(idx, axis=1)                     # (Mi,)
+    rel = idx - base[:, None]                       # values in {0, 1, 2}
+
+    band = jnp.concatenate(
+        [
+            sum(jnp.where((rel[:, k] == d)[:, None, None], jac[:, k], 0.0) for k in range(6))
+            for d in range(3)
+        ],
+        axis=2,
+    )                                               # (Mi, 12, 36)
+
+    hb = jnp.einsum("mri,mrj->mij", band, band)     # (Mi, 36, 36)
+    gb = jnp.einsum("mri,mr->mi", band, ri)         # (Mi, 36)
+    hseg = jax.ops.segment_sum(hb, base, num_segments=s_cap)  # (S, 36, 36)
+    gseg = jax.ops.segment_sum(gb, base, num_segments=s_cap)  # (S, 36)
+
+    # place the 3x3 block grid of each band at (b+di, b+dj)
+    h4 = jnp.zeros((s_cap, 12, s_cap, 12), dtype)
+    b_idx = jnp.arange(s_cap)
+    hseg_blocks = hseg.reshape(s_cap, 3, 12, 3, 12).transpose(0, 1, 3, 2, 4)  # (S,3,3,12,12)
+    rows = jnp.clip(b_idx[:, None, None] + jnp.arange(3)[None, :, None], 0, s_cap - 1)
+    cols = jnp.clip(b_idx[:, None, None] + jnp.arange(3)[None, None, :], 0, s_cap - 1)
+    h4 = h4.at[rows[..., None, None], jnp.arange(12)[None, None, None, :, None],
+               cols[..., None, None], jnp.arange(12)[None, None, None, None, :]].add(hseg_blocks)
+    h = h4.reshape(s_cap * 12, s_cap * 12)
+
+    g4 = jnp.zeros((s_cap, 12), dtype)
+    gseg_blocks = gseg.reshape(s_cap, 3, 12)
+    growz = jnp.clip(b_idx[:, None] + jnp.arange(3)[None, :], 0, s_cap - 1)
+    g4 = g4.at[growz].add(gseg_blocks)
+    g = g4.reshape(s_cap * 12)
+    return h, g
 
 
 class SolveStats(NamedTuple):
@@ -52,7 +89,46 @@ class SolveStats(NamedTuple):
     final_cost: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "dt"))
+def _pcg_solve(h: jnp.ndarray, b: jnp.ndarray, s_cap: int, iters: int, tol: float):
+    """Solve h x = b by preconditioned CG with a block-Jacobi (12x12)
+    preconditioner. TPU-friendly alternative to dense Cholesky: each iteration
+    is one (N, N) matvec + elementwise work, which XLA fuses far better than the
+    sequential panel updates of a factorization."""
+    blocks = h.reshape(s_cap, 12, s_cap, 12)
+    diag_blocks = blocks[jnp.arange(s_cap), :, jnp.arange(s_cap), :]  # (S, 12, 12)
+    minv = jnp.linalg.inv(diag_blocks)
+
+    def prec(r):
+        return jnp.einsum("sij,sj->si", minv, r.reshape(s_cap, 12)).reshape(-1)
+
+    b2 = jnp.sum(b * b)
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = prec(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0)
+
+    def body(state):
+        x, r, p, rz, k = state
+        hp = h @ p
+        alpha = rz / jnp.maximum(jnp.sum(p * hp), jnp.finfo(h.dtype).tiny)
+        x = x + alpha * p
+        r = r - alpha * hp
+        z = prec(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.maximum(rz, jnp.finfo(h.dtype).tiny)
+        p = z + beta * p
+        return x, r, p, rz_new, k + 1
+
+    def cond(state):
+        _, r, _, _, k = state
+        return (k < iters) & (jnp.sum(r * r) > tol * tol * b2)
+
+    x, _, _, _, _ = jax.lax.while_loop(cond, body, (x0, r0, p0, rz0, jnp.asarray(0, jnp.int32)))
+    return x
+
+
+@partial(jax.jit, static_argnames=("max_iterations", "dt", "linear_solver", "pcg_iters"))
 def solve_window(
     sample: SampleStates,
     sfac: fmod.SurfelFactors,
@@ -67,6 +143,9 @@ def solve_window(
     lambda_up: float = 4.0,
     lambda_down: float = 2.0,
     function_tolerance: float = 1e-6,
+    linear_solver: str = "pcg",
+    pcg_iters: int = 96,
+    pcg_tol: float = 1e-6,
 ):
     """Optimize the correction state of the sliding window in place.
 
@@ -101,11 +180,10 @@ def solve_window(
         sw = 1.0 / jnp.sqrt(1.0 + rs * rs / a2)
         js = _scatter_surfel_rows(jac_s, idx_s, s_cap) * sw[:, None]
         rs_w = rs * sw
-        ji = _scatter_imu_rows(jac_i, idx_i, s_cap)
-        ri_flat = ri.reshape(-1)
+        hi, gi = _imu_banded_normal_eqs(jac_i, idx_i, ri, s_cap)
 
-        h = js.T @ js + ji.T @ ji
-        g = js.T @ rs_w + ji.T @ ri_flat
+        h = js.T @ js + hi
+        g = js.T @ rs_w + gi
 
         # gauge/padding masking -> identity rows/cols, zero gradient
         fm = free.astype(dtype)
@@ -114,38 +192,47 @@ def solve_window(
         return h, g
 
     def lm_step(state):
-        # classic LM bookkeeping: (H, g) belong to the current accepted point;
-        # rejected steps only regrow lambda and re-solve — no re-linearization
-        cor_flat, lam, cost, h, g, k, done = state
+        # LM with Nielsen's gain-ratio schedule (Madsen/Nielsen/Tingleff):
+        # (H, g) belong to the current accepted point; rejected steps only
+        # regrow lambda and re-solve — no re-linearization
+        cor_flat, lam, nu, cost, h, g, k, done = state
         d = jnp.clip(jnp.diag(h), 1e-6, 1e32)
         h_damped = h + lam * jnp.diag(d)
-        delta = -jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(h_damped), g)
+        if linear_solver == "pcg":
+            delta = _pcg_solve(h_damped, -g, s_cap, pcg_iters, pcg_tol)
+        else:
+            delta = -jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(h_damped), g)
         new_flat = cor_flat + delta
         new_cost = eval_cost(new_flat)
-        accept = (new_cost < cost) & jnp.isfinite(new_cost)
+        # gain ratio: actual / predicted decrease of the quadratic model
+        pred = 0.5 * (jnp.sum(delta * (lam * d * delta)) - jnp.sum(delta * g))
+        rho = (cost - new_cost) / jnp.maximum(pred, jnp.finfo(dtype).tiny)
+        accept = (new_cost < cost) & jnp.isfinite(new_cost) & (pred > 0)
 
         rel_decrease = (cost - new_cost) / jnp.maximum(cost, jnp.finfo(dtype).tiny)
         new_done = accept & (rel_decrease < function_tolerance)
 
         cor_out = jnp.where(accept, new_flat, cor_flat)
         cost_out = jnp.where(accept, new_cost, cost)
-        lam_out = jnp.where(accept, lam / lambda_down, lam * lambda_up)
+        shrink = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        lam_out = jnp.where(accept, lam * shrink, lam * nu)
+        nu_out = jnp.where(accept, jnp.asarray(2.0, dtype), nu * 2.0)
         lam_out = jnp.clip(lam_out, 1e-12, 1e10)
         # re-linearize only after an accepted, non-final step
         h_out, g_out = jax.lax.cond(
             accept & ~new_done, build_normal_eqs, lambda _: (h, g), cor_out
         )
-        return cor_out, lam_out, cost_out, h_out, g_out, k + 1, done | new_done
+        return cor_out, lam_out, nu_out, cost_out, h_out, g_out, k + 1, done | new_done
 
     def cond(state):
-        return (state[5] < max_iterations) & ~state[6]
+        return (state[6] < max_iterations) & ~state[7]
 
     cor0 = sample.cor.reshape(-1)
     cost0 = eval_cost(cor0)
     h0, g0 = build_normal_eqs(cor0)
-    init = (cor0, jnp.asarray(init_lambda, dtype), cost0, h0, g0,
+    init = (cor0, jnp.asarray(init_lambda, dtype), jnp.asarray(2.0, dtype), cost0, h0, g0,
             jnp.asarray(0, jnp.int32), jnp.asarray(False))
-    cor_fin, _, cost_fin, _, _, iters, _ = jax.lax.while_loop(cond, lm_step, init)
+    cor_fin, _, _, cost_fin, _, _, iters, _ = jax.lax.while_loop(cond, lm_step, init)
 
     out = sample.replace(cor=cor_fin.reshape(s_cap, 12))
     return out, SolveStats(iterations=iters, initial_cost=cost0, final_cost=cost_fin)
