@@ -43,25 +43,24 @@ def main():
 
     imu_iter = iter(seq.imu)
     pending = next(imu_iter, None)
-    sweep_times = []
+    t_start = None
     for ts, pl in seq.scans:
         while pending is not None and pending[0] <= ts[-1] + 0.01:
             lo.add_imu(*pending)
             pending = next(imu_iter, None)
-        n0 = lo.sweep_id
-        t0 = time.perf_counter()
         lo.add_scan(ts, pl)
-        t1 = time.perf_counter()
-        if lo.sweep_id > n0:
-            sweep_times.append(t1 - t0)
+        if lo.sweep_id == 1 and t_start is None:
+            _ = lo.trajectory  # flush so the compile sweep is excluded
+            t_start = time.perf_counter()
+    _ = lo.trajectory  # final flush blocks on all queued device work
 
-    if len(sweep_times) < 3:
+    if lo.sweep_id < 4 or t_start is None:
         print(json.dumps({"metric": "realtime_factor", "value": 0.0, "unit": "x", "vs_baseline": 0.0,
                           "error": "too few sweeps"}))
         return 1
 
-    steady = np.asarray(sweep_times[1:])  # drop compile sweep
-    per_sweep = float(np.mean(steady))
+    n_steady = lo.sweep_id - 1
+    per_sweep = (time.perf_counter() - t_start) / n_steady
     rtf = cfg.sweep_duration / per_sweep
     ate = ate_rmse(lo.trajectory, lambda t: seq.gt_pose(t)[0], align=False)
 
@@ -71,7 +70,7 @@ def main():
         "unit": "x",
         "vs_baseline": round(rtf, 3),
         "per_sweep_ms": round(per_sweep * 1000, 1),
-        "sweeps": len(sweep_times),
+        "sweeps": lo.sweep_id,
         "ate_rmse_m": round(ate, 5),
         "device": str(jax.devices()[0]),
     }))

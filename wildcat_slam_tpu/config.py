@@ -87,7 +87,11 @@ class WildcatConfig:
     gn_lambda_up: float = 4.0
     gn_lambda_down: float = 2.0
     gn_min_relative_decrease: float = 1e-3
-    gn_function_tolerance: float = 1e-6
+    # measured on synthetic 8 s sequences: 1e-3 converges in ~4 LM iterations
+    # with equal-or-better ATE than 1e-6 (which averages ~17) — the late
+    # iterations chase sensor noise (Ceres' default 1e-6 is tuned for generic
+    # problems, not this windowed re-solve-every-sweep regime)
+    gn_function_tolerance: float = 1e-3
     linear_solver: str = "cholesky"  # or "pcg" (block-Jacobi CG, same speed measured)
     pcg_iters: int = 48
     pcg_tol: float = 1e-2  # inexact Newton: LM only needs a descent step

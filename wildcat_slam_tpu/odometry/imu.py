@@ -99,26 +99,28 @@ def propagate(
             jax.lax.dynamic_slice(imu.gyr, (i, zero), (1, 3))[0],
         )
 
-    s1 = get(c - 2)  # (pos, rot, acc, gyr) of the second-to-last state
-    s2 = get(c - 1)
+    p1, r1, a1, g1 = get(c - 2)  # second-to-last window state
+    p2, r2, a2, g2 = get(c - 1)  # last window state
 
     dt2 = jnp.asarray(dt * dt, imu.pos.dtype)
 
-    def step(carry, x):
-        (p1, r1, a1, _g1), (p2, r2, a2, g2) = carry
-        acc3, gyr3, valid = x
-        r3 = lie.quat_mul(r2, lie.exp_quat(((g2 + gyr3) / 2.0 - bg) * dt))
-        p3 = (lie.quat_rotate(r1, a1 - ba) + grav) * dt2 + 2.0 * p2 - p1
-        new_state = (p3, r3, acc3, gyr3)
-        keep = lambda new, old: jnp.where(valid, new, old)
-        carry_out = (
-            jax.tree_util.tree_map(keep, (p2, r2, a2, g2), (p1, r1, a1, _g1)),
-            jax.tree_util.tree_map(keep, new_state, (p2, r2, a2, g2)),
-        )
-        return carry_out, (p3, r3)
+    # The recurrence is associative once unrolled (TPU-first: O(log K) depth
+    # instead of a K-step sequential scan):
+    #   rot_n  = rot_last * prod_{j<=n} Exp(((gyr_{j-1}+gyr_j)/2 - bg) dt)
+    #   v_n    = (p_last - p_prev) + dt^2 * cumsum(R_j (a_j - ba) + grav), j<=n-2
+    #   pos_n  = p_last + cumsum(v)
+    gyr_prev = jnp.concatenate([g2[None], new_gyr[:-1]], axis=0)
+    dq = lie.exp_quat(((gyr_prev + new_gyr) / 2.0 - bg) * dt)     # (K, 4)
+    prod = jax.lax.associative_scan(lie.quat_mul, dq)             # (K, 4)
+    rot_new = lie.quat_normalize(lie.quat_mul(r2[None], prod))
 
-    valid = jnp.arange(k) < new_count
-    (_, _), (pos_new, rot_new) = jax.lax.scan(step, (s1, s2), (new_acc, new_gyr, valid))
+    # world acceleration at extended indices (-2)=r1/a1, (-1)=r2/a2, then the
+    # new states 0..K-3; v_n = (p2-p1) + dt^2 * sum_{j=-2}^{n-2} accw_j
+    rot_acc = jnp.concatenate([r1[None], r2[None], rot_new[: k - 2]], axis=0)  # (K, 4)
+    acc_acc = jnp.concatenate([a1[None], a2[None], new_acc[: k - 2]], axis=0)
+    accw = lie.quat_rotate(rot_acc, acc_acc - ba) + grav                       # (K, 3)
+    v = (p2 - p1)[None] + dt2 * jnp.cumsum(accw, axis=0)                       # (K, 3)
+    pos_new = p2[None] + jnp.cumsum(v, axis=0)
 
     # Write the K results at offset `count`; only the valid prefix advances count.
     def put(buf, vals):

@@ -241,13 +241,40 @@ class LidarOdometry:
         self.imu_front_time: Optional[float] = None  # absolute time of device imu[0]
         self.fix_first = True
         self.sweep_id = 0
-        self.trajectory: List[tuple] = []
-        self.stats: List[dict] = []
+        self._trajectory: List[tuple] = []
+        self._stats: List[dict] = []
+        self._pending: List[tuple] = []  # (back_t, device outputs) not yet fetched
         self.clouds: List[np.ndarray] = [] if collect_clouds else None
 
         self._ext_rot = np.asarray(cfg.ext_lidar2imu_rot, np.float64).reshape(3, 3)
         self._ext_pos = np.asarray(cfg.ext_lidar2imu_pos, np.float64)
         self._stride = int(round(cfg.sample_dt * cfg.imu_rate))
+
+    def _flush(self) -> None:
+        if not self._pending:
+            return
+        pending, self._pending = self._pending, []
+        fetched = jax.device_get([o for _, o in pending])
+        for (back, _), f in zip(pending, fetched):
+            pose_pos = np.asarray(f.pop("pose_pos"), np.float64)
+            pose_rot = np.asarray(f.pop("pose_rot"), np.float64)
+            self._trajectory.append((back, pose_pos, pose_rot))
+            self._stats.append(f)
+
+    @property
+    def trajectory(self) -> List[tuple]:
+        self._flush()
+        return self._trajectory
+
+    @trajectory.setter
+    def trajectory(self, value) -> None:  # checkpoint restore
+        self._pending = []
+        self._trajectory = list(value)
+
+    @property
+    def stats(self) -> List[dict]:
+        self._flush()
+        return self._stats
 
     # ------------------------------------------------------------------ IMU
     def add_imu(self, t: float, acc, gyr):
@@ -400,14 +427,11 @@ class LidarOdometry:
         shift = float(new_front - self.epoch)
         self.epoch = new_front
 
-        # fetch all small outputs in ONE transfer (per-scalar fetches cost one
-        # device round-trip each — expensive through the TPU tunnel)
+        # defer the device->host fetch: add_scan returns right after dispatch so
+        # the next sweep's host-side preparation overlaps this sweep's device
+        # compute; outputs are materialized lazily (trajectory/stats accessors)
         small = {k: v for k, v in out.items() if k not in ("pts_world", "pts_valid")}
-        fetched = jax.device_get(small)
-        pose_pos = np.asarray(fetched.pop("pose_pos"), np.float64)
-        pose_rot = np.asarray(fetched.pop("pose_rot"), np.float64)
-        self.trajectory.append((back, pose_pos, pose_rot))
-        self.stats.append(fetched)
+        self._pending.append((back, small))
         if self.clouds is not None:
             pts_w, pv = jax.device_get((out["pts_world"], out["pts_valid"]))
             self.clouds.append(np.asarray(pts_w)[np.asarray(pv)])

@@ -146,17 +146,15 @@ def extract_surfels(
         out = jnp.zeros(by_point_sorted.shape, by_point_sorted.dtype)
         return out.at[lv["perm"]].set(by_point_sorted)
 
-    big0 = to_unsorted(0, per_level[0]["big"])
-    big1 = to_unsorted(1, per_level[1]["big"])
-    big2 = to_unsorted(2, per_level[2]["big"])
-    plane0 = to_unsorted(0, per_level[0]["plane"])
-    plane1 = to_unsorted(1, per_level[1]["plane"])
-    plane2 = to_unsorted(2, per_level[2]["plane"])
-
-    fitted0 = big0
-    fitted1 = big0 & big1
-    fitted2 = fitted1 & ~plane1 & big2
-    cand = [fitted0 & plane0, fitted1 & plane1, fitted2 & plane2]  # per point, unsorted
+    bigs = [to_unsorted(l, per_level[l]["big"]) for l in range(n_levels)]
+    planes = [to_unsorted(l, per_level[l]["plane"]) for l in range(n_levels)]
+    # level 0 fits when big; level 1 always follows a big root (forced split,
+    # surfel_extraction.cc:131-137); deeper levels only under non-planar parents
+    fitted = [bigs[0]]
+    for l in range(1, n_levels):
+        parent_open = fitted[l - 1] if l == 1 else fitted[l - 1] & ~planes[l - 1]
+        fitted.append(parent_open & bigs[l])
+    cand = [fitted[l] & planes[l] for l in range(n_levels)]  # per point, unsorted
 
     # --- temporal clustering within candidate nodes, per level ---
     out_chunks = []

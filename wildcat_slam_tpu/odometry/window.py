@@ -2,7 +2,9 @@
 
 Covers ``ShrinkToFit`` (lidar_odometry.cc:228-251) and the window bookkeeping of
 ``AddLidarScan`` (surfel insertion cc:526, sample/imu/surfel trimming cc:574-580),
-re-designed as masked shifts over fixed-capacity arrays:
+re-designed as masked shifts over fixed-capacity arrays (the trim itself is
+inlined in pipeline.process_sweep with host-computed drop counts — see the
+host/device split note there):
 
 - sample states: drop from the front while back.t - front.t > sliding duration;
 - IMU states: drop from the front while older than the new sample front;
@@ -86,58 +88,6 @@ def merge_surfels_into_window(win: Surfels, new: Surfels, keep_newest: bool = Tr
     dropped_mask = both.valid & (jnp.arange(both.t.shape[0]) < start)
     overflow = jax.tree_util.tree_map(lambda x: x[:cap], both.replace(valid=dropped_mask[: both.t.shape[0]]))
     return kept, overflow
-
-
-def shrink_to_fit(
-    sample: SampleStates,
-    imu: ImuStates,
-    sld: Surfels,
-    fix: Surfels,
-    sliding_duration: float,
-    fixed_duration: float,
-):
-    """ShrinkToFit (lidar_odometry.cc:228-251). Returns
-    (sample, imu, sld, fix, n_sample_dropped)."""
-    dtype = sample.t.dtype
-    back_t = sample.t[sample.count - 1]
-
-    # 1. drop sample states from the front while span > sliding_duration
-    over = (back_t - sample.t > sliding_duration) & sample.mask
-    n_drop = jnp.sum(over.astype(jnp.int32))
-    sample = sample.replace(
-        t=_shift_left(sample.t, n_drop),
-        rot=_shift_left(sample.rot, n_drop),
-        pos=_shift_left(sample.pos, n_drop),
-        cor=_shift_left(sample.cor, n_drop),
-        count=sample.count - n_drop,
-    )
-    sample_front_t = sample.t[0]
-
-    # 2. drop IMU states older than the sample front
-    imu_over = (imu.t < sample_front_t) & imu.mask
-    n_imu_drop = jnp.sum(imu_over.astype(jnp.int32))
-    imu = imu.replace(
-        t=_shift_left(imu.t, n_imu_drop),
-        rot=_shift_left(imu.rot, n_imu_drop),
-        pos=_shift_left(imu.pos, n_imu_drop),
-        acc=_shift_left(imu.acc, n_imu_drop),
-        gyr=_shift_left(imu.gyr, n_imu_drop),
-        count=imu.count - n_imu_drop,
-    )
-    imu_front_t = imu.t[0]
-
-    # 3. migrate sliding surfels older than the IMU front into the fixed window
-    move = sld.valid & (sld.t < imu_front_t)
-    moved = sld.replace(valid=move)
-    sld = sld.replace(valid=sld.valid & ~move)
-    fix, _ = merge_surfels_into_window(fix, moved)
-
-    # 4. fixed-window time trim (reference intent; its own loop is a no-op bug)
-    small = jnp.asarray(jnp.finfo(dtype).min, dtype)
-    fix_newest = jnp.max(jnp.where(fix.valid, fix.t, small))
-    fix = fix.replace(valid=fix.valid & (fix.t >= fix_newest - fixed_duration))
-
-    return sample, imu, sld, fix, n_drop
 
 
 def rebase_times(sample: SampleStates, imu: ImuStates, sld: Surfels, fix: Surfels):
