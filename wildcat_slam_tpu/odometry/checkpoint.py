@@ -14,7 +14,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from wildcat_slam_tpu.odometry.pipeline import LidarOdometry, WindowState
+from wildcat_slam_tpu.odometry.pipeline import LidarOdometry
 
 
 _HOST_FIELDS = ("synced", "initialized", "epoch", "sample_times", "imu_front_time",

@@ -26,7 +26,6 @@ Sweep orchestration mirrors AddLidarScan (lidar_odometry.cc:487-605):
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import List, Optional
 
@@ -44,7 +43,6 @@ from wildcat_slam_tpu.odometry.match import match_surfels
 from wildcat_slam_tpu.odometry.solver import solve_window
 from wildcat_slam_tpu.odometry.states import ImuStates, SampleStates, Surfels
 from wildcat_slam_tpu.odometry.surfel import extract_surfels
-from wildcat_slam_tpu.ops import lie
 
 
 @struct.dataclass

@@ -4,17 +4,20 @@ Replaces the reference's Ceres solve (lidar_odometry.cc:540-562: SPARSE_NORMAL_
 CHOLESKY, <=100 iterations, CauchyLoss(0.4) on surfel factors, TrivialLoss on IMU
 factors, first-ever sample state's position frozen via SubsetParameterization).
 
-TPU-first design: instead of Ceres's sparse CHOLMOD path, each factor's Jacobian
-blocks are scattered into dense per-factor rows over the (S x 12) parameter
-vector and the normal equations H = J^T J, g = J^T r are two dense matmuls on
-the MXU — at S ~ 80 the full H is only (960, 960), far below the crossover where
-sparsity wins. Robustification is IRLS: rows are scaled by sqrt(rho'(r^2)) with
-rho the Cauchy loss (the first-order Triggs correction; Ceres additionally
-applies a rank-1 curvature correction which vanishes as residuals shrink).
-Gauge handling masks frozen parameters to identity rows/cols.
+TPU-first design: instead of Ceres's sparse CHOLMOD path, the normal equations
+H = J^T J, g = J^T r are assembled directly on device — surfel factors as dense
+per-factor rows contracted on the MXU (at S ~ 80 the full H is only ~1k x 1k,
+far below the crossover where sparsity wins), IMU factors via a banded
+reduction (their blocks always span a contiguous 3-block window, see
+``_imu_banded_normal_eqs``). Robustification is IRLS: rows are scaled by
+sqrt(rho'(r^2)) with rho the Cauchy loss (the first-order Triggs correction;
+Ceres additionally applies a rank-1 curvature correction which vanishes as
+residuals shrink). Gauge handling masks frozen parameters to identity rows/cols.
 
-The LM loop is a ``lax.while_loop``: accept/reject on true robust cost, lambda
-up/down, early exit on relative function decrease < function_tolerance.
+The LM loop is a ``lax.while_loop`` with Nielsen's gain-ratio damping schedule;
+(H, g) are rebuilt only after accepted steps, candidate costs use a
+residual-only evaluation, and the linear solve is dense Cholesky or
+block-Jacobi PCG (configurable).
 """
 
 from __future__ import annotations

@@ -20,7 +20,6 @@ the ICI.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import numpy as np

@@ -12,15 +12,10 @@ from __future__ import annotations
 
 import numpy as np
 
-from wildcat_slam_tpu.ops.eigh3 import eigh3
-
-
 def surfel_ellipsoids(surfels) -> dict:
     """Ellipsoid parameters per valid surfel: center, 3-sigma semi-axes,
     rotation (columns = axes), RGB from the world normal — the same encoding as
     PubSurfels (scale = 3 sqrt(eigenvalue), color = (n+1)/2)."""
-    import jax.numpy as jnp
-
     valid = np.asarray(surfels.valid)
     center = np.asarray(surfels.center_world())[valid]
     cov = np.asarray(surfels.cov_world())[valid]
