@@ -1,0 +1,102 @@
+"""Window management unit tests: merging, overflow migration, rebasing."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from wildcat_slam_tpu.odometry import window as win_mod
+from wildcat_slam_tpu.odometry.states import Surfels
+
+
+def _surfels(cap, times, dtype=jnp.float64):
+    s = Surfels.empty(cap, dtype)
+    n = len(times)
+    return s.replace(
+        t=s.t.at[:n].set(jnp.asarray(times, dtype)),
+        center=s.center.at[:n].set(jnp.arange(n * 3, dtype=dtype).reshape(n, 3)),
+        valid=s.valid.at[:n].set(True),
+    )
+
+
+class TestMergeSurfels:
+    def test_simple_append_time_sorted(self):
+        win = _surfels(8, [1.0, 2.0])
+        new = _surfels(4, [3.0, 4.0])
+        out, overflow = win_mod.merge_surfels_into_window(win, new)
+        t = np.asarray(out.t)[np.asarray(out.valid)]
+        np.testing.assert_allclose(np.sort(t), [1, 2, 3, 4])
+        assert int(out.count) == 4
+        assert int(overflow.count) == 0
+
+    def test_interleaved_times_sorted(self):
+        win = _surfels(8, [1.0, 3.0])
+        new = _surfels(4, [2.0, 4.0])
+        out, _ = win_mod.merge_surfels_into_window(win, new)
+        t = np.asarray(out.t)[np.asarray(out.valid)]
+        np.testing.assert_allclose(t, [1, 2, 3, 4])  # compacted AND ordered
+
+    def test_overflow_drops_oldest_and_reports(self):
+        win = _surfels(4, [1.0, 2.0, 3.0, 4.0])
+        new = _surfels(2, [5.0, 6.0])
+        out, overflow = win_mod.merge_surfels_into_window(win, new)
+        kept = np.sort(np.asarray(out.t)[np.asarray(out.valid)])
+        np.testing.assert_allclose(kept, [3, 4, 5, 6])
+        dropped = np.sort(np.asarray(overflow.t)[np.asarray(overflow.valid)])
+        np.testing.assert_allclose(dropped, [1, 2])
+
+    def test_overflow_preserves_payload(self):
+        win = _surfels(2, [1.0, 2.0])
+        new = _surfels(2, [3.0, 4.0])
+        out, overflow = win_mod.merge_surfels_into_window(win, new)
+        ov_valid = np.asarray(overflow.valid)
+        ov_t = np.asarray(overflow.t)[ov_valid]
+        ov_c = np.asarray(overflow.center)[ov_valid]
+        # the dropped surfels are the oldest (t=1,2) with their centers intact
+        np.testing.assert_allclose(np.sort(ov_t), [1, 2])
+        assert ov_c.shape == (2, 3)
+        np.testing.assert_allclose(ov_c[np.argsort(ov_t)][0], [0, 1, 2])
+
+
+class TestRebase:
+    def test_rebase_shifts_all_windows(self):
+        from wildcat_slam_tpu.odometry.states import ImuStates, SampleStates
+
+        ss = SampleStates.empty(8, jnp.float64).replace(
+            t=jnp.asarray([5.0, 6.0, 7.0, 0, 0, 0, 0, 0]), count=jnp.asarray(3, jnp.int32))
+        imu = ImuStates.empty(8, jnp.float64).replace(
+            t=jnp.asarray([5.0, 5.5, 6.0, 6.5, 7.0, 0, 0, 0]), count=jnp.asarray(5, jnp.int32))
+        sld = _surfels(4, [5.5, 6.5])
+        fix = _surfels(4, [4.5])
+        ss2, imu2, sld2, fix2, shift = win_mod.rebase_times(ss, imu, sld, fix)
+        assert float(shift) == 5.0
+        assert float(ss2.t[0]) == 0.0
+        np.testing.assert_allclose(np.asarray(imu2.t[:5]), [0, 0.5, 1.0, 1.5, 2.0])
+        np.testing.assert_allclose(np.asarray(sld2.t)[np.asarray(sld2.valid)], [0.5, 1.5])
+        np.testing.assert_allclose(np.asarray(fix2.t)[np.asarray(fix2.valid)], [-0.5])
+
+
+class TestTiltedStart:
+    def test_gravity_init_from_tilted_imu(self):
+        # bootstrap with the rig tilted 20 deg: gravity must align with the
+        # measured accelerometer direction (lidar_odometry.cc:392)
+        from wildcat_slam_tpu.config import WildcatConfig
+        from wildcat_slam_tpu.odometry.pipeline import WindowState, init_window
+        from scipy.spatial.transform import Rotation as R
+
+        cfg = WildcatConfig(max_sample_states=16, max_imu_states=64,
+                            max_surfels_sliding=16, max_surfels_fixed=16)
+        st = WindowState.empty(cfg, jnp.float64)
+        tilt = R.from_euler("x", 20, degrees=True)
+        acc_body = tilt.inv().apply([0, 0, 9.81])
+        st = init_window(
+            st,
+            jnp.asarray([0.0, 0.005]),
+            jnp.asarray(np.stack([acc_body, acc_body])),
+            jnp.zeros((2, 3)),
+            cfg,
+        )
+        grav = np.asarray(st.sample.grav)
+        np.testing.assert_allclose(np.linalg.norm(grav), 9.81, atol=1e-9)
+        # gravity in the odometry world frame (= initial body frame) is the
+        # negated accelerometer direction
+        np.testing.assert_allclose(grav, -9.81 * acc_body / np.linalg.norm(acc_body), atol=1e-9)

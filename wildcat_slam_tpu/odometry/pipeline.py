@@ -202,15 +202,23 @@ def process_sweep(
     pts_world_final = imu_mod.undistort_points(imu2, pts_t - shift, pts)
 
     pose_idx = sample2.count - 1
-    outputs = dict(
-        pose_pos_pred=pred_pos,
-        pose_pos=sample2.pos[pose_idx],
-        pose_rot=sample2.rot[pose_idx],
-        shift=shift,
-        pts_world=pts_world_final,
-        pts_valid=pts_valid,
-        **stats,
-    )
+    # all small outputs packed into ONE vector: the host fetches it with a
+    # single device->host transfer (the TPU tunnel costs ~ms per round-trip)
+    packed = jnp.concatenate([
+        sample2.pos[pose_idx].astype(jnp.float32),                    # 0:3
+        sample2.rot[pose_idx].astype(jnp.float32),                    # 3:7
+        jnp.stack([
+            shift.astype(jnp.float32),                                # 7
+            stats["iterations"].astype(jnp.float32),                  # 8
+            stats["initial_cost"].astype(jnp.float32),                # 9
+            stats["final_cost"].astype(jnp.float32),                  # 10
+            stats["n_new_surfels"].astype(jnp.float32),               # 11
+            stats["n_pairs_sld"].astype(jnp.float32),                 # 12
+            stats["n_pairs_fix"].astype(jnp.float32),                 # 13
+        ]),
+        pred_pos.astype(jnp.float32),                                 # 14:17
+    ])
+    outputs = dict(packed=packed, pts_world=pts_world_final, pts_valid=pts_valid)
     return state.replace(sample=sample2, imu=imu2, sld=sld, fix=fix), outputs
 
 
@@ -253,11 +261,15 @@ class LidarOdometry:
             return
         pending, self._pending = self._pending, []
         fetched = jax.device_get([o for _, o in pending])
-        for (back, _), f in zip(pending, fetched):
-            pose_pos = np.asarray(f.pop("pose_pos"), np.float64)
-            pose_rot = np.asarray(f.pop("pose_rot"), np.float64)
-            self._trajectory.append((back, pose_pos, pose_rot))
-            self._stats.append(f)
+        for (back, _), v in zip(pending, fetched):
+            v = np.asarray(v, np.float64)
+            self._trajectory.append((back, v[0:3], v[3:7]))
+            self._stats.append(dict(
+                shift=v[7], iterations=int(v[8]), initial_cost=v[9],
+                final_cost=v[10], n_new_surfels=int(v[11]),
+                n_pairs_sld=int(v[12]), n_pairs_fix=int(v[13]),
+                pose_pos_pred=v[14:17],
+            ))
 
     @property
     def trajectory(self) -> List[tuple]:
@@ -427,9 +439,10 @@ class LidarOdometry:
 
         # defer the device->host fetch: add_scan returns right after dispatch so
         # the next sweep's host-side preparation overlaps this sweep's device
-        # compute; outputs are materialized lazily (trajectory/stats accessors)
-        small = {k: v for k, v in out.items() if k not in ("pts_world", "pts_valid")}
-        self._pending.append((back, small))
+        # compute; the packed output's transfer starts immediately (async) and
+        # is materialized lazily by the trajectory/stats accessors
+        out["packed"].copy_to_host_async()
+        self._pending.append((back, out["packed"]))
         if self.clouds is not None:
             pts_w, pv = jax.device_get((out["pts_world"], out["pts_valid"]))
             self.clouds.append(np.asarray(pts_w)[np.asarray(pv)])

@@ -33,10 +33,14 @@ from wildcat_slam_tpu.odometry.states import SampleStates
 
 
 def _scatter_surfel_rows(jac, idx, s_cap):
-    """(M, 4, 12) blocks at (M, 4) sample indices -> dense rows (M, S*12)."""
+    """(M, 4, 12) blocks at (M, 4) sample indices -> dense rows (M, S*12).
+
+    Built as a one-hot contraction instead of a scatter-add: XLA serializes
+    scatters whose indices it cannot prove unique (coincident bracket indices
+    are legal here), while the equivalent one-hot einsum runs on the MXU."""
     m = jac.shape[0]
-    rows = jnp.zeros((m, s_cap, 12), jac.dtype)
-    rows = rows.at[jnp.arange(m)[:, None], idx].add(jac)
+    oh = (idx[:, :, None] == jnp.arange(s_cap)[None, None, :]).astype(jac.dtype)  # (M,4,S)
+    rows = jnp.einsum("mks,mkj->msj", oh, jac)
     return rows.reshape(m, s_cap * 12)
 
 
@@ -65,24 +69,29 @@ def _imu_banded_normal_eqs(jac, idx, ri, s_cap):
 
     hb = jnp.einsum("mri,mrj->mij", band, band)     # (Mi, 36, 36)
     gb = jnp.einsum("mri,mr->mi", band, ri)         # (Mi, 36)
-    hseg = jax.ops.segment_sum(hb, base, num_segments=s_cap)  # (S, 36, 36)
-    gseg = jax.ops.segment_sum(gb, base, num_segments=s_cap)  # (S, 36)
+    # per-base accumulation as a one-hot contraction (MXU) rather than a
+    # duplicate-index scatter-add (serialized on TPU)
+    oh = (base[:, None] == jnp.arange(s_cap)[None, :]).astype(dtype)  # (Mi, S)
+    hseg = jnp.einsum("ms,mij->sij", oh, hb)        # (S, 36, 36)
+    gseg = jnp.einsum("ms,mi->si", oh, gb)          # (S, 36)
 
-    # place the 3x3 block grid of each band at (b+di, b+dj)
-    h4 = jnp.zeros((s_cap, 12, s_cap, 12), dtype)
-    b_idx = jnp.arange(s_cap)
+    # place the 3x3 block grid of each band at (b+di, b+dj): nine scatters at
+    # provably unique+sorted positions into a padded buffer (fast path), then
+    # crop — contributions that would fall past the valid range are zero by
+    # construction (bands never extend beyond the last valid state)
     hseg_blocks = hseg.reshape(s_cap, 3, 12, 3, 12).transpose(0, 1, 3, 2, 4)  # (S,3,3,12,12)
-    rows = jnp.clip(b_idx[:, None, None] + jnp.arange(3)[None, :, None], 0, s_cap - 1)
-    cols = jnp.clip(b_idx[:, None, None] + jnp.arange(3)[None, None, :], 0, s_cap - 1)
-    h4 = h4.at[rows[..., None, None], jnp.arange(12)[None, None, None, :, None],
-               cols[..., None, None], jnp.arange(12)[None, None, None, None, :]].add(hseg_blocks)
-    h = h4.reshape(s_cap * 12, s_cap * 12)
-
-    g4 = jnp.zeros((s_cap, 12), dtype)
+    h4 = jnp.zeros((s_cap + 2, 12, s_cap + 2, 12), dtype)
+    g4 = jnp.zeros((s_cap + 2, 12), dtype)
+    b_idx = jnp.arange(s_cap)
     gseg_blocks = gseg.reshape(s_cap, 3, 12)
-    growz = jnp.clip(b_idx[:, None] + jnp.arange(3)[None, :], 0, s_cap - 1)
-    g4 = g4.at[growz].add(gseg_blocks)
-    g = g4.reshape(s_cap * 12)
+    for di in range(3):
+        g4 = g4.at[b_idx + di].add(
+            gseg_blocks[:, di], unique_indices=True, indices_are_sorted=True)
+        for dj in range(3):
+            h4 = h4.at[b_idx + di, :, b_idx + dj, :].add(
+                hseg_blocks[:, di, dj], unique_indices=True, indices_are_sorted=True)
+    h = h4[:s_cap, :, :s_cap, :].reshape(s_cap * 12, s_cap * 12)
+    g = g4[:s_cap].reshape(s_cap * 12)
     return h, g
 
 

@@ -41,6 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from wildcat_slam_tpu.config import WildcatConfig
+from wildcat_slam_tpu.ops import voxel
 from wildcat_slam_tpu.ops.eigh3 import eigh3
 
 _COORD_BITS = 20
@@ -113,14 +114,14 @@ def extract_surfels(
         q = jnp.where(valid_s[:, None], pts_s - anchor, 0.0)
         w = valid_s.astype(dtype)
 
-        n_seg = jax.ops.segment_sum(w, seg_id, num_segments=p_cap)
-        s1 = jax.ops.segment_sum(q, seg_id, num_segments=p_cap)
-        s2 = jax.ops.segment_sum(q[:, :, None] * q[:, None, :], seg_id, num_segments=p_cap)
-        # exact anchor per segment: min over identical int coords
-        cmin = jnp.stack(
-            [jax.ops.segment_min(jnp.where(valid_s, cell_s[:, k], big), seg_id, num_segments=p_cap) for k in range(3)],
-            axis=1,
-        )
+        n_seg = jax.ops.segment_sum(w, seg_id, num_segments=p_cap, indices_are_sorted=True)
+        s1 = jax.ops.segment_sum(q, seg_id, num_segments=p_cap, indices_are_sorted=True)
+        s2 = jax.ops.segment_sum(q[:, :, None] * q[:, None, :], seg_id, num_segments=p_cap,
+                                 indices_are_sorted=True)
+        # exact anchor per segment: the cell coords of its first point (all
+        # points in a segment share the cell; gather beats a segment_min)
+        start_pos = voxel.segment_start_positions(seg_id, is_start, p_cap)
+        cmin = cell_s[jnp.clip(start_pos, 0, p_cap - 1)]
 
         n_safe = jnp.maximum(n_seg, 1.0)
         mean_q = s1 / n_safe[:, None]

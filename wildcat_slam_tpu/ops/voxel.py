@@ -9,6 +9,7 @@ insertion order gives its octree nodes.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # 20 bits per axis, biased: supports cell coords in [-2^19, 2^19). At the finest
@@ -38,3 +39,14 @@ def segment_ids_from_sorted_keys(sorted_keys: jnp.ndarray):
     )
     seg_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
     return seg_id, is_start
+
+
+def segment_start_positions(seg_id: jnp.ndarray, is_start: jnp.ndarray, num_segments: int):
+    """Index of each segment's first element, for *sorted* contiguous segments.
+    Uses a unique+sorted scatter (XLA's vectorizable fast path — a scatter with
+    possibly-duplicate indices is serialized on TPU). Padding segments report N."""
+    n = seg_id.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    out = jnp.full((num_segments,), n, jnp.int32)
+    idx = jnp.where(is_start, jnp.clip(seg_id, 0, num_segments - 1), num_segments)
+    return out.at[idx].set(pos, mode="drop", unique_indices=True, indices_are_sorted=True)
