@@ -4,9 +4,12 @@ Reference: src/wildcat_slam_node.cc (gflags: --enable_online_mode,
 --bag_filename, --imu_rate; offline mode iterates the bag and dispatches to the
 odometry callbacks). Here:
 
-    python -m wildcat_slam_tpu.cli --dataset DIR [--traj-out traj.tum]
-        [--surfels-out surfels.ply] [--cloud-out cloud.ply] [--imu-rate 200]
-        [--synthetic SECONDS] [--profile DIR] [--device cpu|tpu]
+    python -m wildcat_slam_tpu.cli --dataset DIR | --bag FILE.bag [--traj-out
+        traj.tum] [--surfels-out surfels.ply] [--cloud-out cloud.ply]
+        [--imu-rate 200] [--synthetic SECONDS] [--profile DIR] [--device cpu]
+
+ROS1 bags are read natively (io/rosbag.py) — the reference's Hilti bags work
+unchanged: --bag exp04.bag --imu-topic /alphasense/imu --lidar-topic /hesai/pandar.
 
 With --synthetic N a synthetic sequence is generated in memory instead of
 reading --dataset (useful for smoke runs and benchmarking without data).
@@ -24,6 +27,9 @@ import numpy as np
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="Wildcat-TPU lidar-inertial odometry")
     ap.add_argument("--dataset", help="sequence directory (imu.npz + scans/*.wcs)")
+    ap.add_argument("--bag", help="ROS1 .bag file (sensor_msgs/Imu + PointCloud2)")
+    ap.add_argument("--imu-topic", default=None, help="bag IMU topic (default: any Imu)")
+    ap.add_argument("--lidar-topic", default=None, help="bag lidar topic (default: any PointCloud2)")
     ap.add_argument("--synthetic", type=float, default=None, metavar="SECONDS",
                     help="run on a generated synthetic sequence instead of a dataset")
     ap.add_argument("--imu-rate", type=float, default=200.0)
@@ -33,6 +39,8 @@ def main(argv=None) -> int:
     ap.add_argument("--profile", default=None, help="capture a jax.profiler trace to this dir")
     ap.add_argument("--device", choices=["default", "cpu"], default="default")
     ap.add_argument("--max-sweeps", type=int, default=None)
+    ap.add_argument("--residual-hist", action="store_true",
+                    help="print post-solve residual histograms per sweep")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -45,7 +53,7 @@ def main(argv=None) -> int:
     from wildcat_slam_tpu.odometry.pipeline import LidarOdometry
     from wildcat_slam_tpu.utils.profiling import StageTimer, trace
 
-    cfg = WildcatConfig(imu_rate=args.imu_rate)
+    cfg = WildcatConfig(imu_rate=args.imu_rate, debug_residuals=args.residual_hist)
     lo = LidarOdometry(cfg, collect_clouds=args.cloud_out is not None)
     timer = StageTimer()
 
@@ -60,9 +68,13 @@ def main(argv=None) -> int:
                     yield ("imu", *seq.imu[i_imu])
                     i_imu += 1
                 yield ("scan", times, pts)
+        elif args.bag:
+            from wildcat_slam_tpu.io.rosbag import read_bag
+
+            yield from read_bag(args.bag, args.imu_topic, args.lidar_topic)
         else:
             if not args.dataset:
-                ap.error("need --dataset or --synthetic")
+                ap.error("need --dataset, --bag, or --synthetic")
             from wildcat_slam_tpu.io.dataset import Dataset
 
             yield from Dataset(args.dataset)
@@ -77,6 +89,12 @@ def main(argv=None) -> int:
                 before = lo.sweep_id
                 with timer.stage("scan"):
                     lo.add_scan(ev[1], ev[2])
+                if args.residual_hist and lo.sweep_id > before and lo.residuals:
+                    from wildcat_slam_tpu.utils.histogram import residual_report
+                    r = lo.residuals[-1]
+                    print(residual_report("surfel", r["surfel"]), file=sys.stderr)
+                    print(residual_report("imu-gyro", np.linalg.norm(r["imu"][:, 0:3], axis=1)),
+                          file=sys.stderr)
                 if args.verbose and lo.sweep_id > before:
                     st = lo.stats[-1]
                     print(

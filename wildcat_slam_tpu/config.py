@@ -95,6 +95,7 @@ class WildcatConfig:
     linear_solver: str = "cholesky"  # or "pcg" (block-Jacobi CG, same speed measured)
     pcg_iters: int = 48
     pcg_tol: float = 1e-2  # inexact Newton: LM only needs a descent step
+    debug_residuals: bool = False  # return post-solve residual vectors per sweep
     dtype: str = "float32"
 
     # ----- Derived cost weights (lio_config.h:42-45) -----

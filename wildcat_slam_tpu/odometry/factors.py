@@ -46,7 +46,8 @@ def sample_bracket(sample: SampleStates, t_query: jnp.ndarray):
     """
     big = jnp.asarray(jnp.finfo(sample.t.dtype).max, sample.t.dtype)
     tpad = jnp.where(sample.mask, sample.t, big)
-    ir = jnp.searchsorted(tpad, t_query.astype(sample.t.dtype), side="right")
+    ir = jnp.searchsorted(tpad, t_query.astype(sample.t.dtype), side="right",
+                          method="scan_unrolled")  # while-loop lowering is slow on TPU
     ir = jnp.clip(ir, 1, sample.count - 1).astype(jnp.int32)
     il = ir - 1
     tl, tr = sample.t[il], sample.t[ir]

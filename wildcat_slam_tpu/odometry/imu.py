@@ -165,7 +165,10 @@ def bracket_indices(imu: ImuStates, query_t: jnp.ndarray) -> jnp.ndarray:
     so (idx-1, idx) always brackets within the valid range."""
     big = jnp.asarray(jnp.finfo(imu.t.dtype).max, imu.t.dtype)
     t_pad = jnp.where(imu.mask, imu.t, big)
-    idx = jnp.searchsorted(t_pad, query_t.astype(imu.t.dtype), side="left")
+    # scan_unrolled: the default 'scan' method lowers to a lax.while_loop whose
+    # per-iteration overhead dominates on TPU; unrolled bisection fuses
+    idx = jnp.searchsorted(t_pad, query_t.astype(imu.t.dtype), side="left",
+                           method="scan_unrolled")
     return jnp.clip(idx, 1, imu.count - 1)
 
 

@@ -71,7 +71,9 @@ def match_surfels(
         - 2.0 * dq @ dt_.T
         + jnp.sum(dt_ * dt_, axis=1)[None, :]
     )
-    neg_d2, knn = jax.lax.top_k(-d2, k)  # (Q, k) candidate target indices
+    # (measured: the TopK custom call beats a two-stage tiled top-k, which XLA
+    # lowers to a slower variadic sort)
+    _, knn = jax.lax.top_k(-d2, k)  # (Q, k) candidate target indices
 
     # Per-candidate filter mask (vectorized once for all ranks).
     cand_t = tt[knn]                            # (Q, k)

@@ -80,7 +80,7 @@ def init_window(state: WindowState, imu_t, imu_acc, imu_gyr, cfg: WildcatConfig)
     return state.replace(sample=sample, imu=imu)
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+@partial(jax.jit, static_argnames=("cfg", "emit_cloud"), donate_argnames=("state",))
 def process_sweep(
     state: WindowState,
     # IMU feed: padded (K,) arrays of resampled samples, n valid
@@ -92,6 +92,7 @@ def process_sweep(
     # host-computed window control
     n_sample_drop, n_imu_drop, fix_first_pos,
     cfg: WildcatConfig,
+    emit_cloud: bool = False,
 ):
     """One full sweep step on device. Returns (state, outputs dict)."""
     sample, imu = state.sample, state.imu
@@ -118,9 +119,11 @@ def process_sweep(
         sweep_surf["resolution"], sweep_surf["std"], sweep_surf["valid"], imu,
     )
     # capacity-pressure overflow of the sliding window migrates to the fixed
-    # window (keeps the constraints; the reference's deques are unbounded)
+    # window (keeps the constraints; the reference's deques are unbounded);
+    # the actual fixed-window merge is deferred to the post-solve trim so the
+    # large fixed buffers are rebuilt once per sweep, not twice
     sld, sld_overflow = win_mod.merge_surfels_into_window(state.sld, new_surfels)
-    fix, _ = win_mod.merge_surfels_into_window(state.fix, sld_overflow)
+    fix = state.fix
 
     stats = {}
     for _ in range(cfg.outer_iter_num_max):  # cc:529 (default 1)
@@ -157,6 +160,12 @@ def process_sweep(
             lambda_down=cfg.gn_lambda_down, function_tolerance=cfg.gn_function_tolerance,
             linear_solver=cfg.linear_solver, pcg_iters=cfg.pcg_iters, pcg_tol=cfg.pcg_tol,
         )
+        if cfg.debug_residuals:
+            from wildcat_slam_tpu.odometry.solver import residual_snapshot
+            stats_res = residual_snapshot(
+                sample, sfac, ifac, weights, cfg.imu_dt, sample.grav)
+        else:
+            stats_res = None
         stats = dict(
             iterations=sstats.iterations,
             initial_cost=sstats.initial_cost,
@@ -189,7 +198,11 @@ def process_sweep(
     )
     imu_front_t = imu2.t[0]
     move = sld.valid & (sld.t < imu_front_t)
-    fix, _ = win_mod.merge_surfels_into_window(fix, sld.replace(valid=move))
+    incoming = jax.tree_util.tree_map(
+        lambda a, b: jnp.concatenate([a, b], 0),
+        sld_overflow, sld.replace(valid=move),
+    )
+    fix, _ = win_mod.merge_surfels_into_window(fix, incoming)
     sld = sld.replace(valid=sld.valid & ~move)
     small = jnp.asarray(jnp.finfo(dtype).min, dtype)
     fix_newest = jnp.max(jnp.where(fix.valid, fix.t, small))
@@ -198,8 +211,12 @@ def process_sweep(
     # 10. rebase times to the new sample front
     sample2, imu2, sld, fix, shift = win_mod.rebase_times(sample2, imu2, sld, fix)
 
-    # final undistortion for output (cc:584-595) with post-solve poses
-    pts_world_final = imu_mod.undistort_points(imu2, pts_t - shift, pts)
+    # final undistortion for output (cc:584-595) with post-solve poses — only
+    # when the caller collects clouds (static flag: skipped work is not traced)
+    if emit_cloud:
+        pts_world_final = imu_mod.undistort_points(imu2, pts_t - shift, pts)
+    else:
+        pts_world_final = jnp.zeros_like(pts)
 
     pose_idx = sample2.count - 1
     # all small outputs packed into ONE vector: the host fetches it with a
@@ -219,6 +236,8 @@ def process_sweep(
         pred_pos.astype(jnp.float32),                                 # 14:17
     ])
     outputs = dict(packed=packed, pts_world=pts_world_final, pts_valid=pts_valid)
+    if stats_res is not None:
+        outputs["residuals"] = stats_res
     return state.replace(sample=sample2, imu=imu2, sld=sld, fix=fix), outputs
 
 
@@ -250,6 +269,7 @@ class LidarOdometry:
         self._trajectory: List[tuple] = []
         self._stats: List[dict] = []
         self._pending: List[tuple] = []  # (back_t, device outputs) not yet fetched
+        self.residuals: List[dict] = []  # post-solve residual snapshots (debug)
         self.clouds: List[np.ndarray] = [] if collect_clouds else None
 
         self._ext_rot = np.asarray(cfg.ext_lidar2imu_rot, np.float64).reshape(3, 3)
@@ -426,6 +446,7 @@ class LidarOdometry:
             jnp.asarray(n_drop, jnp.int32), jnp.asarray(n_imu_drop, jnp.int32),
             jnp.asarray(fix_first),
             cfg,
+            emit_cloud=self.clouds is not None,
         )
         self.state = state
 
@@ -443,6 +464,12 @@ class LidarOdometry:
         # is materialized lazily by the trajectory/stats accessors
         out["packed"].copy_to_host_async()
         self._pending.append((back, out["packed"]))
+        if "residuals" in out:
+            rs, rsv, ri, riv = jax.device_get(out["residuals"])
+            self.residuals.append(dict(
+                surfel=np.asarray(rs)[np.asarray(rsv)],
+                imu=np.asarray(ri)[np.asarray(riv)],
+            ))
         if self.clouds is not None:
             pts_w, pv = jax.device_get((out["pts_world"], out["pts_valid"]))
             self.clouds.append(np.asarray(pts_w)[np.asarray(pv)])

@@ -194,7 +194,11 @@ def solve_window(
         rs_w = rs * sw
         hi, gi = _imu_banded_normal_eqs(jac_i, idx_i, ri, s_cap)
 
-        h = js.T @ js + hi
+        # Gram matrix on the MXU in bf16 with f32 accumulation: 2x the f32
+        # throughput; the ~0.3% element error only perturbs the quadratic
+        # model (step quality), never the cost/acceptance, which stay f32.
+        jb = js.astype(jnp.bfloat16)
+        h = jnp.dot(jb.T, jb, preferred_element_type=jnp.float32) + hi
         g = js.T @ rs_w + gi
 
         # gauge/padding masking -> identity rows/cols, zero gradient
@@ -248,3 +252,13 @@ def solve_window(
 
     out = sample.replace(cor=cor_fin.reshape(s_cap, 12))
     return out, SolveStats(iterations=iters, initial_cost=cost0, final_cost=cost_fin)
+
+
+def residual_snapshot(sample, sfac, ifac, weights, dt, grav):
+    """Raw residual vectors for diagnostics — the on-demand analog of the
+    reference's pre/post-solve histogram reports (PrintSurfelResiduals /
+    PrintImuResiduals, lidar_odometry.cc:56-100,547-549,568-571). Returns
+    (surfel_residuals (M,), imu_residuals (Mi, 12), valid masks)."""
+    rs, _, _ = fmod.surfel_residuals(sfac, sample.cor, with_jac=False)
+    ri, _, _ = fmod.imu_residuals(ifac, sample.cor, weights, dt, grav, with_jac=False)
+    return rs, sfac.valid, ri, ifac.valid
