@@ -92,9 +92,13 @@ class WildcatConfig:
     # iterations chase sensor noise (Ceres' default 1e-6 is tuned for generic
     # problems, not this windowed re-solve-every-sweep regime)
     gn_function_tolerance: float = 1e-3
-    linear_solver: str = "cholesky"  # or "pcg" (block-Jacobi CG, same speed measured)
-    pcg_iters: int = 48
-    pcg_tol: float = 1e-2  # inexact Newton: LM only needs a descent step
+    # block-Jacobi PCG with a small fixed budget: measured equal to dense
+    # Cholesky at steady state (3-4 LM iterations) and ~2x faster on
+    # iteration-heavy early sweeps; LM only needs a descent step, so an
+    # inexact solve is fine ("cholesky" remains available)
+    linear_solver: str = "pcg"
+    pcg_iters: int = 24
+    pcg_tol: float = 1e-2
     debug_residuals: bool = False  # return post-solve residual vectors per sweep
     dtype: str = "float32"
 

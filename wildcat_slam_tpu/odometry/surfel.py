@@ -57,6 +57,16 @@ def _split_keys(cell: jnp.ndarray):
     return hi, lo
 
 
+def _unpack_sym(m6: jnp.ndarray) -> jnp.ndarray:
+    """(..., 6) [xx yy zz xy xz yz] -> full symmetric (..., 3, 3)."""
+    xx, yy, zz, xy, xz, yz = (m6[..., i] for i in range(6))
+    return jnp.stack([
+        jnp.stack([xx, xy, xz], axis=-1),
+        jnp.stack([xy, yy, yz], axis=-1),
+        jnp.stack([xz, yz, zz], axis=-1),
+    ], axis=-2)
+
+
 def _plane_test(vals: jnp.ndarray, thr: float, likeness_min: float, strict: bool):
     """vals: (..., 3) ascending eigenvalues."""
     s = jnp.sum(vals, axis=-1)
@@ -115,9 +125,15 @@ def extract_surfels(
         w = valid_s.astype(dtype)
 
         n_seg = jax.ops.segment_sum(w, seg_id, num_segments=p_cap, indices_are_sorted=True)
-        s1 = jax.ops.segment_sum(q, seg_id, num_segments=p_cap, indices_are_sorted=True)
-        s2 = jax.ops.segment_sum(q[:, :, None] * q[:, None, :], seg_id, num_segments=p_cap,
-                                 indices_are_sorted=True)
+        # pack (1 | q | unique second-moment entries) into one (P, 10) segment
+        # sum: one reduction pass, and the symmetric moment carries 6 entries
+        qq = jnp.stack([q[:, 0] * q[:, 0], q[:, 1] * q[:, 1], q[:, 2] * q[:, 2],
+                        q[:, 0] * q[:, 1], q[:, 0] * q[:, 2], q[:, 1] * q[:, 2]], axis=1)
+        moments = jax.ops.segment_sum(
+            jnp.concatenate([q, qq], axis=1), seg_id, num_segments=p_cap,
+            indices_are_sorted=True)
+        s1 = moments[:, 0:3]
+        s2 = _unpack_sym(moments[:, 3:9])
         # exact anchor per segment: the cell coords of its first point (all
         # points in a segment share the cell; gather beats a segment_min)
         start_pos = voxel.segment_start_positions(seg_id, is_start, p_cap)
@@ -172,10 +188,16 @@ def extract_surfels(
         cl_id = jnp.where(cand_s, jnp.cumsum(new_cluster.astype(jnp.int32)) - 1, nc)
 
         w = cand_s.astype(dtype)
-        n_cl = jax.ops.segment_sum(w, cl_id, num_segments=nc)
-        s1 = jax.ops.segment_sum(lv["q"] * w[:, None], cl_id, num_segments=nc)
-        s2 = jax.ops.segment_sum((lv["q"][:, :, None] * lv["q"][:, None, :]) * w[:, None, None], cl_id, num_segments=nc)
-        st = jax.ops.segment_sum(jnp.where(cand_s, lv["t_s"], 0.0).astype(dtype), cl_id, num_segments=nc)
+        q = lv["q"] * w[:, None]
+        qq = jnp.stack([q[:, 0] * lv["q"][:, 0], q[:, 1] * lv["q"][:, 1], q[:, 2] * lv["q"][:, 2],
+                        q[:, 0] * lv["q"][:, 1], q[:, 0] * lv["q"][:, 2], q[:, 1] * lv["q"][:, 2]], axis=1)
+        tw = jnp.where(cand_s, lv["t_s"], 0.0).astype(dtype)
+        moments = jax.ops.segment_sum(
+            jnp.concatenate([w[:, None], q, qq, tw[:, None]], axis=1), cl_id, num_segments=nc)
+        n_cl = moments[:, 0]
+        s1 = moments[:, 1:4]
+        s2 = _unpack_sym(moments[:, 4:10])
+        st = moments[:, 10]
         big = jnp.int32(2**31 - 1)
         cmin = jnp.stack(
             [jax.ops.segment_min(jnp.where(cand_s, lv["cmin"][lv["seg_id"], k], big), cl_id, num_segments=nc) for k in range(3)],
