@@ -18,43 +18,59 @@ def _surfels(cap, times, dtype=jnp.float64):
     )
 
 
-class TestMergeSurfels:
-    def test_simple_append_time_sorted(self):
+class TestInsertSurfels:
+    def test_insert_into_free_slots(self):
         win = _surfels(8, [1.0, 2.0])
         new = _surfels(4, [3.0, 4.0])
-        out, overflow = win_mod.merge_surfels_into_window(win, new)
-        t = np.asarray(out.t)[np.asarray(out.valid)]
-        np.testing.assert_allclose(np.sort(t), [1, 2, 3, 4])
+        out, evicted = win_mod.insert_surfels(win, new)
+        t = np.sort(np.asarray(out.t)[np.asarray(out.valid)])
+        np.testing.assert_allclose(t, [1, 2, 3, 4])
         assert int(out.count) == 4
-        assert int(overflow.count) == 0
+        assert int(evicted.count) == 0
 
-    def test_interleaved_times_sorted(self):
+    def test_payload_travels_with_insert(self):
         win = _surfels(8, [1.0, 3.0])
         new = _surfels(4, [2.0, 4.0])
-        out, _ = win_mod.merge_surfels_into_window(win, new)
-        t = np.asarray(out.t)[np.asarray(out.valid)]
-        np.testing.assert_allclose(t, [1, 2, 3, 4])  # compacted AND ordered
+        out, _ = win_mod.insert_surfels(win, new)
+        ov = np.asarray(out.valid)
+        t = np.asarray(out.t)[ov]
+        c = np.asarray(out.center)[ov]
+        # each surviving entry keeps its own center row (first coord = 3*rank)
+        for ti, ci in zip(t, c):
+            expect_rank = {1.0: 0, 3.0: 1, 2.0: 0, 4.0: 1}[float(ti)]
+            np.testing.assert_allclose(ci, np.arange(3) + 3 * expect_rank)
 
-    def test_overflow_drops_oldest_and_reports(self):
+    def test_eviction_oldest_and_reported(self):
         win = _surfels(4, [1.0, 2.0, 3.0, 4.0])
         new = _surfels(2, [5.0, 6.0])
-        out, overflow = win_mod.merge_surfels_into_window(win, new)
+        out, evicted = win_mod.insert_surfels(win, new)
         kept = np.sort(np.asarray(out.t)[np.asarray(out.valid)])
         np.testing.assert_allclose(kept, [3, 4, 5, 6])
-        dropped = np.sort(np.asarray(overflow.t)[np.asarray(overflow.valid)])
-        np.testing.assert_allclose(dropped, [1, 2])
+        ev = np.sort(np.asarray(evicted.t)[np.asarray(evicted.valid)])
+        np.testing.assert_allclose(ev, [1, 2])
 
-    def test_overflow_preserves_payload(self):
+    def test_eviction_preserves_payload(self):
         win = _surfels(2, [1.0, 2.0])
         new = _surfels(2, [3.0, 4.0])
-        out, overflow = win_mod.merge_surfels_into_window(win, new)
-        ov_valid = np.asarray(overflow.valid)
-        ov_t = np.asarray(overflow.t)[ov_valid]
-        ov_c = np.asarray(overflow.center)[ov_valid]
-        # the dropped surfels are the oldest (t=1,2) with their centers intact
-        np.testing.assert_allclose(np.sort(ov_t), [1, 2])
-        assert ov_c.shape == (2, 3)
-        np.testing.assert_allclose(ov_c[np.argsort(ov_t)][0], [0, 1, 2])
+        out, evicted = win_mod.insert_surfels(win, new)
+        ev_valid = np.asarray(evicted.valid)
+        ev_t = np.asarray(evicted.t)[ev_valid]
+        ev_c = np.asarray(evicted.center)[ev_valid]
+        np.testing.assert_allclose(np.sort(ev_t), [1, 2])
+        np.testing.assert_allclose(ev_c[np.argsort(ev_t)][0], [0, 1, 2])
+
+    def test_extract_moved(self):
+        win = _surfels(8, [1.0, 2.0, 3.0, 4.0, 5.0])
+        out, moved = win_mod.extract_moved(win, jnp.asarray(3.5), 4)
+        np.testing.assert_allclose(np.sort(np.asarray(moved.t)[np.asarray(moved.valid)]), [1, 2, 3])
+        np.testing.assert_allclose(np.sort(np.asarray(out.t)[np.asarray(out.valid)]), [4, 5])
+
+    def test_extract_moved_capacity_limited(self):
+        win = _surfels(8, [1.0, 2.0, 3.0, 4.0])
+        out, moved = win_mod.extract_moved(win, jnp.asarray(10.0), 2)
+        # only the 2 oldest move; the rest stay for a later sweep
+        np.testing.assert_allclose(np.sort(np.asarray(moved.t)[np.asarray(moved.valid)]), [1, 2])
+        np.testing.assert_allclose(np.sort(np.asarray(out.t)[np.asarray(out.valid)]), [3, 4])
 
 
 class TestRebase:

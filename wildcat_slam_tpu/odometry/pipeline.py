@@ -118,11 +118,10 @@ def process_sweep(
         sweep_surf["t"], sweep_surf["center"], sweep_surf["cov"], sweep_surf["norm"],
         sweep_surf["resolution"], sweep_surf["std"], sweep_surf["valid"], imu,
     )
-    # capacity-pressure overflow of the sliding window migrates to the fixed
-    # window (keeps the constraints; the reference's deques are unbounded);
-    # the actual fixed-window merge is deferred to the post-solve trim so the
-    # large fixed buffers are rebuilt once per sweep, not twice
-    sld, sld_overflow = win_mod.merge_surfels_into_window(state.sld, new_surfels)
+    # slot-insertion into the sliding window: only new.capacity rows are
+    # written; evictions under capacity pressure migrate to the fixed window
+    # at the post-solve trim (the reference's deques are unbounded)
+    sld, sld_evicted = win_mod.insert_surfels(state.sld, new_surfels)
     fix = state.fix
 
     stats = {}
@@ -197,13 +196,10 @@ def process_sweep(
         count=imu.count - n_imu_drop,
     )
     imu_front_t = imu2.t[0]
-    move = sld.valid & (sld.t < imu_front_t)
+    sld, moved = win_mod.extract_moved(sld, imu_front_t, cfg.max_surfels_per_sweep * 2)
     incoming = jax.tree_util.tree_map(
-        lambda a, b: jnp.concatenate([a, b], 0),
-        sld_overflow, sld.replace(valid=move),
-    )
-    fix, _ = win_mod.merge_surfels_into_window(fix, incoming)
-    sld = sld.replace(valid=sld.valid & ~move)
+        lambda a, b: jnp.concatenate([a, b], 0), sld_evicted, moved)
+    fix, _ = win_mod.insert_surfels(fix, incoming)
     small = jnp.asarray(jnp.finfo(dtype).min, dtype)
     fix_newest = jnp.max(jnp.where(fix.valid, fix.t, small))
     fix = fix.replace(valid=fix.valid & (fix.t >= fix_newest - cfg.fixed_window_duration))

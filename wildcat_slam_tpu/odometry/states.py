@@ -174,17 +174,3 @@ class Surfels:
     def cov_world(self) -> jnp.ndarray:
         r = lie.quat_to_matrix(self.rot)
         return r @ self.cov @ jnp.swapaxes(r, -1, -2)
-
-
-def concat_surfels(a: Surfels, b: Surfels, capacity: int) -> Surfels:
-    """Append b's valid slots after a's compacted valid slots, truncating to
-    ``capacity``. Compaction keeps time order within each input (extraction sorts
-    by time, surfel_extraction.cc:334)."""
-
-    def cat(x, y):
-        return jnp.concatenate([x, y], axis=0)
-
-    merged = jax.tree_util.tree_map(cat, a, b)
-    order = jnp.argsort(~merged.valid, stable=True)  # valid slots first, stable
-    merged = jax.tree_util.tree_map(lambda x: x[order], merged)
-    return jax.tree_util.tree_map(lambda x: x[:capacity], merged)

@@ -64,30 +64,90 @@ def add_sample_states(
     )
 
 
-def merge_surfels_into_window(win: Surfels, new: Surfels, keep_newest: bool = True):
-    """Append a sweep's surfels to a window (lidar_odometry.cc:526). Windows are
-    time-ordered; on overflow the oldest entries are dropped.
+def _compact(s: Surfels, capacity: int, key: jnp.ndarray) -> Surfels:
+    """Gather the entries with the smallest keys (invalid entries must carry
+    +inf keys) into a fresh buffer of ``capacity`` rows, preserving key order."""
+    order = jnp.argsort(key)[:capacity]
+    out = jax.tree_util.tree_map(lambda x: x[order], s)
+    big = jnp.asarray(jnp.finfo(key.dtype).max, key.dtype)
+    return out.replace(valid=out.valid & (key[order] < big))
 
-    Returns ``(window, overflow)`` where ``overflow`` has the dropped (oldest)
-    entries marked valid — callers under capacity pressure migrate them to the
-    fixed window instead of losing their constraints (the reference's unbounded
-    deques never drop; this is the bounded-capacity analog)."""
-    cap = win.capacity
-    both = jax.tree_util.tree_map(lambda a, b: jnp.concatenate([a, b], 0), win, new)
-    bigt = jnp.asarray(jnp.finfo(win.t.dtype).max, win.t.dtype)
-    order = jnp.argsort(jnp.where(both.valid, both.t, bigt), stable=True)
-    both = jax.tree_util.tree_map(lambda x: x[order], both)
-    nv = jnp.sum(both.valid.astype(jnp.int32))
-    start = jnp.maximum(nv - cap, 0) if keep_newest else jnp.asarray(0, jnp.int32)
 
-    def slice_(x):
-        starts = (start.astype(jnp.int32),) + (jnp.asarray(0, jnp.int32),) * (x.ndim - 1)
-        return jax.lax.dynamic_slice(x, starts, (cap,) + x.shape[1:])
+def insert_surfels(win: Surfels, new: Surfels):
+    """Insert ``new``'s valid entries into a window's free (invalid) slots.
 
-    kept = jax.tree_util.tree_map(slice_, both)
-    dropped_mask = both.valid & (jnp.arange(both.t.shape[0]) < start)
-    overflow = jax.tree_util.tree_map(lambda x: x[:cap], both.replace(valid=dropped_mask[: both.t.shape[0]]))
-    return kept, overflow
+    The bounded-capacity analog of the reference's unbounded deque insert
+    (lidar_odometry.cc:526): when free slots run short the OLDEST valid entries
+    are evicted first and returned compactly so callers can migrate them (the
+    sliding window migrates evictions to the fixed window).
+
+    TPU-first: windows are NOT kept sorted — every consumer (matcher, factor
+    build, trims) is mask/index-based — so an insert touches only
+    ``new.capacity`` rows per field via a unique-sorted-index scatter instead of
+    re-gathering the whole window. Costs one key sort of the window plus one of
+    ``new``.
+
+    Returns (window, evicted) with ``evicted`` of ``new.capacity`` rows.
+    """
+    m = new.capacity
+    dtype = win.t.dtype
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+
+    # insertion targets: free slots first (key -inf), then oldest valid entries
+    slot_key = jnp.where(win.valid, win.t, -big)
+    slots = jnp.argsort(slot_key)[:m].astype(jnp.int32)
+
+    # compact the new entries (valid first, time order preserved)
+    newc = _compact(new, m, jnp.where(new.valid, new.t, big))
+    n_new = jnp.sum(newc.valid.astype(jnp.int32))
+    write = jnp.arange(m) < n_new
+
+    # re-order by slot index so the scatter has provably sorted unique indices
+    slot_order = jnp.argsort(slots)
+    slots_s = slots[slot_order]
+    newc = jax.tree_util.tree_map(lambda x: x[slot_order], newc)
+    write_s = write[slot_order]
+
+    evicted = jax.tree_util.tree_map(lambda x: x[slots_s], win)
+    evicted = evicted.replace(valid=evicted.valid & write_s)
+
+    def put(buf, vals):
+        cur = buf[slots_s]
+        sel = write_s.reshape((-1,) + (1,) * (buf.ndim - 1))
+        return buf.at[slots_s].set(jnp.where(sel, vals.astype(buf.dtype), cur),
+                                   unique_indices=True, indices_are_sorted=True)
+
+    out = Surfels(
+        t=put(win.t, newc.t),
+        center=put(win.center, newc.center),
+        cov=put(win.cov, newc.cov),
+        norm=put(win.norm, newc.norm),
+        rot=put(win.rot, newc.rot),
+        pos=put(win.pos, newc.pos),
+        resolution=put(win.resolution, newc.resolution),
+        std=put(win.std, newc.std),
+        valid=win.valid.at[slots_s].set(
+            jnp.where(write_s, newc.valid, win.valid[slots_s]),
+            unique_indices=True, indices_are_sorted=True),
+    )
+    return out, evicted
+
+
+def extract_moved(sld: Surfels, t_cut: jnp.ndarray, capacity: int):
+    """Pull up to ``capacity`` of the oldest surfels with ``t < t_cut`` out of
+    the sliding window (the sliding->fixed migration of ShrinkToFit,
+    lidar_odometry.cc:243-246). Excess movers simply stay one more sweep.
+    Returns (sld, moved)."""
+    big = jnp.asarray(jnp.finfo(sld.t.dtype).max, sld.t.dtype)
+    move = sld.valid & (sld.t < t_cut)
+    key = jnp.where(move, sld.t, big)
+    idx = jnp.argsort(key)[:capacity].astype(jnp.int32)
+    taken = jnp.arange(capacity) < jnp.minimum(jnp.sum(move.astype(jnp.int32)), capacity)
+    moved = jax.tree_util.tree_map(lambda x: x[idx], sld)
+    moved = moved.replace(valid=moved.valid & taken)
+    sld = sld.replace(valid=sld.valid.at[idx].set(
+        jnp.where(taken, False, sld.valid[idx]), unique_indices=True))
+    return sld, moved
 
 
 def rebase_times(sample: SampleStates, imu: ImuStates, sld: Surfels, fix: Surfels):
