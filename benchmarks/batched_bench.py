@@ -1,9 +1,10 @@
 """Aggregate throughput of batched windows (parallel/mesh.py).
 
-Runs B independent synthetic odometry windows in lockstep through the batched
-sweep step. On one chip this measures how well the window batch vectorizes
-(amortizing fixed per-op costs); on an N-chip mesh the same code shards the
-batch across devices with zero hot-path collectives.
+Runs B independent synthetic odometry windows in lockstep through the sharded
+sweep step. Use batch == n_devices (one window per device): each device then
+runs the fully adaptive unbatched program. Larger per-device chunks execute
+serially per device (static loop); measured on one chip, vmap-style batching
+is ~2x slower per window because it de-adaptivizes the solver's control flow.
 
     python benchmarks/batched_bench.py [--batch 4] [--duration 4.0] [--devices N]
 """
@@ -12,8 +13,6 @@ from __future__ import annotations
 
 import argparse
 import time
-
-import numpy as np
 
 
 def main():
@@ -27,7 +26,7 @@ def main():
     import jax.numpy as jnp
 
     from wildcat_slam_tpu.config import WildcatConfig
-    from wildcat_slam_tpu.io.synthetic import SyntheticSequence, ate_rmse
+    from wildcat_slam_tpu.io.synthetic import SyntheticSequence
     from wildcat_slam_tpu.odometry import pipeline as pipe
     from wildcat_slam_tpu.parallel import mesh as pmesh
 

@@ -10,12 +10,14 @@ mesh. Within a window the solve is single-chip by design — a 6 s window's
 normal equations are ~1k x 1k, far too small to profit from cross-chip sharding;
 throughput scaling comes from independent windows.
 
-Implementation: ``process_sweep`` is vmapped over the batch axis and jitted with
-``NamedSharding(P("window"))`` on every leading axis. XLA partitions the whole
-step — including the LM ``while_loop`` (it runs to the max active iteration
-count across the shard's windows, masking finished ones) — with zero
-collectives on the hot path; only scalar reductions for host diagnostics cross
-the ICI.
+Implementation: ``shard_map`` over a 1-D mesh with the window axis sharded; each
+device runs the UNBATCHED per-sweep program on its local windows (a static
+python loop over the local chunk). This deliberately avoids ``vmap``: vmapping
+the sweep converts the solver's accept-conditional re-linearization into
+execute-both-branches selects and runs the LM loop to the max iteration count
+across the batch — measured ~2x slower per window on one chip. With one window
+per device the control flow stays fully adaptive and no collectives touch the
+hot path.
 """
 
 from __future__ import annotations
@@ -49,34 +51,59 @@ def batched_window_state(cfg: WildcatConfig, batch: int, dtype, mesh: Mesh) -> p
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), state)
 
 
+def _per_shard_loop(inner, n_extra_args):
+    """Wrap an unbatched window function into one that processes its local
+    (leading-axis) chunk with a static python loop — real cond/while control
+    flow per window, unlike vmap (see module docstring)."""
+
+    def fn(state, *args):
+        chunk = jax.tree_util.tree_leaves(state)[0].shape[0]
+        outs = []
+        states = []
+        for i in range(chunk):
+            st_i = jax.tree_util.tree_map(lambda x: x[i], state)
+            args_i = [jax.tree_util.tree_map(lambda x: x[i], a) for a in args]
+            st2, out = inner(st_i, *args_i)
+            states.append(st2)
+            outs.append(out)
+        stack = lambda *xs: jnp.stack(xs)
+        return (jax.tree_util.tree_map(stack, *states),
+                jax.tree_util.tree_map(stack, *outs))
+
+    return fn
+
+
 def make_batched_step(cfg: WildcatConfig, mesh: Mesh):
-    """Returns a jitted batched sweep step: state and all feed arrays carry a
-    leading window axis sharded over the mesh."""
+    """Returns a jitted sharded sweep step: state and all feed arrays carry a
+    leading window axis sharded over the mesh; each device runs the unbatched
+    program on its local windows."""
     axis = mesh.axis_names[0]
     shard = NamedSharding(mesh, P(axis))
+    raw = pipe.process_sweep.__wrapped__  # bind the unjitted fn now
+    inner = lambda st, *a: raw(st, *a, cfg)
+    local = _per_shard_loop(inner, 12)
 
-    def step(state, imu_t, imu_acc, imu_gyr, imu_n, sample_t, sample_n,
-             pts, pts_t, pts_n, n_sample_drop, n_imu_drop, fix_first_pos):
-        return jax.vmap(
-            lambda s, a, b, c, d, e, f, g, h, i, j, k, l: pipe.process_sweep.__wrapped__(
-                s, a, b, c, d, e, f, g, h, i, j, k, l, cfg
-            )
-        )(state, imu_t, imu_acc, imu_gyr, imu_n, sample_t, sample_n,
-          pts, pts_t, pts_n, n_sample_drop, n_imu_drop, fix_first_pos)
-
-    # a single sharding acts as a pytree prefix: every leaf of every argument
-    # is sharded along its leading (window) axis
+    # check_vma off: the per-window program creates device-invariant literal
+    # carries (e.g. the matcher's fori_loop init) that shard_map's varying-axis
+    # analysis rejects; there is no cross-device communication to validate
+    step = jax.shard_map(local, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
+                         check_vma=False)
     return jax.jit(step, in_shardings=shard, out_shardings=shard)
 
 
 def make_batched_init(cfg: WildcatConfig, mesh: Mesh):
-    """Jitted batched window bootstrap (leading window axis)."""
+    """Jitted sharded window bootstrap (leading window axis)."""
     axis = mesh.axis_names[0]
     shard = NamedSharding(mesh, P(axis))
+    raw = pipe.init_window.__wrapped__  # bind the unjitted fn now
 
-    def init(state, imu_t, imu_acc, imu_gyr):
-        return jax.vmap(
-            lambda s, a, b, c: pipe.init_window.__wrapped__(s, a, b, c, cfg)
-        )(state, imu_t, imu_acc, imu_gyr)
+    def local(state, imu_t, imu_acc, imu_gyr):
+        chunk = jax.tree_util.tree_leaves(state)[0].shape[0]
+        outs = [raw(jax.tree_util.tree_map(lambda x: x[i], state),
+                    imu_t[i], imu_acc[i], imu_gyr[i], cfg)
+                for i in range(chunk)]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
 
+    init = jax.shard_map(local, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
+                         check_vma=False)
     return jax.jit(init, in_shardings=(shard,) * 4, out_shardings=shard)
