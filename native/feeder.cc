@@ -178,6 +178,33 @@ long wc_feeder_pop_sweep(void* h, double t_end, double epoch, long max_n,
   return n < max_n ? n : max_n;
 }
 
+// Copy the buffered (already filtered, IMU-frame) points without consuming
+// them — checkpoint support.
+long wc_feeder_peek(void* h, long max_n, double* out_t, float* out_xyz) {
+  auto* f = static_cast<Feeder*>(h);
+  const long n = static_cast<long>(f->t.size());
+  const long m = n < max_n ? n : max_n;
+  for (long i = 0; i < m; ++i) {
+    out_t[i] = f->t[i];
+    out_xyz[3 * i] = f->xyz[3 * i];
+    out_xyz[3 * i + 1] = f->xyz[3 * i + 1];
+    out_xyz[3 * i + 2] = f->xyz[3 * i + 2];
+  }
+  return m;
+}
+
+// Append points that are ALREADY filtered and in the IMU frame (checkpoint
+// restore) — no extrinsic, no filters.
+void wc_feeder_push_filtered(void* h, long n, const double* t, const float* xyz) {
+  auto* f = static_cast<Feeder*>(h);
+  for (long i = 0; i < n; ++i) {
+    f->t.push_back(t[i]);
+    f->xyz.push_back(xyz[3 * i]);
+    f->xyz.push_back(xyz[3 * i + 1]);
+    f->xyz.push_back(xyz[3 * i + 2]);
+  }
+}
+
 // ---------------------------------------------------------------------------
 // IMU resampler (sensor/imu_resampler.h semantics; see
 // wildcat_slam_tpu/odometry/imu.py ImuResampler for the grid definition)
@@ -235,5 +262,27 @@ long wc_resampler_add(void* h, double t, const double* acc, const double* gyr,
 }
 
 double wc_resampler_t0(void* h) { return static_cast<Resampler*>(h)->t0; }
+
+// Serialize/restore the resampler (checkpoint support): 11 doubles =
+// started, grid_k, t0, tp, accp[3], gyrp[3].
+void wc_resampler_get_state(void* h, double* out) {
+  auto* r = static_cast<Resampler*>(h);
+  out[0] = r->started ? 1.0 : 0.0;
+  out[1] = static_cast<double>(r->grid_k);
+  out[2] = r->t0;
+  out[3] = r->tp;
+  for (int i = 0; i < 3; ++i) out[4 + i] = r->accp[i];
+  for (int i = 0; i < 3; ++i) out[7 + i] = r->gyrp[i];
+}
+
+void wc_resampler_set_state(void* h, const double* in) {
+  auto* r = static_cast<Resampler*>(h);
+  r->started = in[0] != 0.0;
+  r->grid_k = static_cast<long>(in[1]);
+  r->t0 = in[2];
+  r->tp = in[3];
+  for (int i = 0; i < 3; ++i) r->accp[i] = in[4 + i];
+  for (int i = 0; i < 3; ++i) r->gyrp[i] = in[7 + i];
+}
 
 }  // extern "C"

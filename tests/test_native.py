@@ -100,3 +100,39 @@ class TestResampler:
                 np.testing.assert_allclose(ap, an, atol=0)
                 np.testing.assert_allclose(gp, gn, atol=0)
         assert py._t0 == nat._t0
+
+
+class TestNativePipeline:
+    def test_native_feeder_end_to_end_equivalence(self):
+        """The full pipeline with the C++ feeder must match the numpy path."""
+        import jax
+        from wildcat_slam_tpu.io.synthetic import SyntheticSequence
+        from wildcat_slam_tpu.odometry.pipeline import LidarOdometry
+
+        seq = SyntheticSequence(duration=1.6, points_per_scan=3000, room_half=4.0, seed=0)
+        cfg = WildcatConfig(
+            max_points_per_sweep=16384, max_surfels_per_sweep=512,
+            max_surfels_sliding=2048, max_surfels_fixed=2048,
+            max_correspondences=2048, max_leaves_per_sweep=4096,
+            max_imu_states=640, max_sample_states=48, inner_iter_num_max=15,
+        )
+
+        def run(use_native):
+            lo = LidarOdometry(cfg, use_native=use_native)
+            it = iter(seq.imu)
+            pending = next(it, None)
+            for ts, pl in seq.scans:
+                while pending is not None and pending[0] <= ts[-1] + 0.01:
+                    lo.add_imu(*pending)
+                    pending = next(it, None)
+                lo.add_scan(ts, pl)
+            return lo
+
+        a = run(False)
+        b = run(True)
+        assert a.sweep_id == b.sweep_id >= 3
+        for (t1, p1, q1), (t2, p2, q2) in zip(a.trajectory, b.trajectory):
+            assert t1 == t2
+            # the native path feeds f32 points (numpy feeds f64->f32 at the
+            # device boundary); identical up to that rounding
+            np.testing.assert_allclose(p1, p2, atol=2e-4)

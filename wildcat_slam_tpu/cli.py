@@ -38,6 +38,8 @@ def main(argv=None) -> int:
     ap.add_argument("--cloud-out", default=None, help="write accumulated undistorted cloud (PLY)")
     ap.add_argument("--profile", default=None, help="capture a jax.profiler trace to this dir")
     ap.add_argument("--device", choices=["default", "cpu"], default="default")
+    ap.add_argument("--native", action="store_true",
+                    help="use the C++ host feeder (native/feeder.cc)")
     ap.add_argument("--max-sweeps", type=int, default=None)
     ap.add_argument("--residual-hist", action="store_true",
                     help="print post-solve residual histograms per sweep")
@@ -54,7 +56,8 @@ def main(argv=None) -> int:
     from wildcat_slam_tpu.utils.profiling import StageTimer, trace
 
     cfg = WildcatConfig(imu_rate=args.imu_rate, debug_residuals=args.residual_hist)
-    lo = LidarOdometry(cfg, collect_clouds=args.cloud_out is not None)
+    lo = LidarOdometry(cfg, collect_clouds=args.cloud_out is not None,
+                       use_native=args.native)
     timer = StageTimer()
 
     def events():

@@ -54,6 +54,9 @@ def _load() -> ctypes.CDLL:
     lib.wc_feeder_drop_before.argtypes = [vp, d]
     lib.wc_feeder_pop_sweep.restype = lg
     lib.wc_feeder_pop_sweep.argtypes = [vp, d, d, lg, fp, fp]
+    lib.wc_feeder_peek.restype = lg
+    lib.wc_feeder_peek.argtypes = [vp, lg, dp, fp]
+    lib.wc_feeder_push_filtered.argtypes = [vp, lg, dp, fp]
 
     lib.wc_resampler_create.restype = vp
     lib.wc_resampler_create.argtypes = [d]
@@ -62,6 +65,8 @@ def _load() -> ctypes.CDLL:
     lib.wc_resampler_add.argtypes = [vp, d, dp, dp, lg, dp, dp, dp]
     lib.wc_resampler_t0.restype = d
     lib.wc_resampler_t0.argtypes = [vp]
+    lib.wc_resampler_get_state.argtypes = [vp, dp]
+    lib.wc_resampler_set_state.argtypes = [vp, dp]
     _lib = lib
     return lib
 
@@ -134,6 +139,19 @@ class NativeFeeder:
             self._h, float(t_end), float(epoch), len(out_times),
             _fptr(out_times), _fptr(out_xyz))
 
+    def dump(self):
+        """Non-destructive copy of the buffered points (checkpoint support)."""
+        n = len(self)
+        t = np.zeros(n, np.float64)
+        xyz = np.zeros((n, 3), np.float32)
+        self._lib.wc_feeder_peek(self._h, n, _dptr(t), _fptr(xyz))
+        return t, xyz.astype(np.float64)
+
+    def restore(self, t: np.ndarray, xyz: np.ndarray) -> None:
+        t = np.ascontiguousarray(t, np.float64)
+        x = np.ascontiguousarray(xyz, np.float32)
+        self._lib.wc_feeder_push_filtered(self._h, len(t), _dptr(t), _fptr(x))
+
 
 class NativeResampler:
     """Uniform-grid IMU resampler in C++ (same grid as imu.ImuResampler)."""
@@ -154,6 +172,15 @@ class NativeResampler:
     @property
     def _t0(self) -> float:  # same attribute name as the Python resampler
         return self._lib.wc_resampler_t0(self._h)
+
+    def get_state(self) -> np.ndarray:
+        out = np.zeros(11, np.float64)
+        self._lib.wc_resampler_get_state(self._h, _dptr(out))
+        return out
+
+    def set_state(self, st: np.ndarray) -> None:
+        st = np.ascontiguousarray(st, np.float64)
+        self._lib.wc_resampler_set_state(self._h, _dptr(st))
 
     def add(self, t: float, acc, gyr):
         a = np.ascontiguousarray(acc, np.float64)

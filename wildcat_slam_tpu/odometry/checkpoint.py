@@ -22,6 +22,7 @@ _HOST_FIELDS = ("synced", "initialized", "epoch", "sample_times", "imu_front_tim
 
 
 def save(path: str, lo: LidarOdometry) -> None:
+    _pts = lo.points.dump()
     flat, treedef = jax.tree_util.tree_flatten(jax.device_get(lo.state))
     host = {f: getattr(lo, f) for f in _HOST_FIELDS}
     np.savez_compressed(
@@ -39,17 +40,9 @@ def save(path: str, lo: LidarOdometry) -> None:
         imu_queue_t=np.asarray([e[0] for e in lo.imu_queue]),
         imu_queue_acc=np.stack([e[1] for e in lo.imu_queue]) if lo.imu_queue else np.zeros((0, 3)),
         imu_queue_gyr=np.stack([e[2] for e in lo.imu_queue]) if lo.imu_queue else np.zeros((0, 3)),
-        pts_t=lo.pts_t,
-        pts_xyz=lo.pts_xyz,
-        resampler=np.asarray([
-            lo.resampler.rate,
-            float(lo.resampler._grid_k),
-            lo.resampler._t0 if lo.resampler._t0 is not None else np.nan,
-        ]),
-        resampler_prev=(
-            np.concatenate([[lo.resampler._prev[0]], lo.resampler._prev[1], lo.resampler._prev[2]])
-            if lo.resampler._prev is not None else np.full(7, np.nan)
-        ),
+        pts_t=_pts[0],
+        pts_xyz=_pts[1],
+        resampler=lo.resampler.get_state(),
     )
 
 
@@ -73,12 +66,6 @@ def load(path: str) -> LidarOdometry:
     lo.imu_queue = [
         (float(t), a, g) for t, a, g in zip(d["imu_queue_t"], d["imu_queue_acc"], d["imu_queue_gyr"])
     ]
-    lo.pts_t = d["pts_t"]
-    lo.pts_xyz = d["pts_xyz"]
-    rate, grid_k, t0 = d["resampler"]
-    lo.resampler.rate = float(rate)
-    lo.resampler._grid_k = int(grid_k)
-    lo.resampler._t0 = None if np.isnan(t0) else float(t0)
-    rp = d["resampler_prev"]
-    lo.resampler._prev = None if np.isnan(rp[0]) else (float(rp[0]), rp[1:4], rp[4:7])
+    lo.points.restore(d["pts_t"], d["pts_xyz"])
+    lo.resampler.set_state(d["resampler"])
     return lo

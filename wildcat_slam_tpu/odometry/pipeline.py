@@ -237,6 +237,62 @@ def process_sweep(
     return state.replace(sample=sample2, imu=imu2, sld=sld, fix=fix), outputs
 
 
+class _NumpyPointBuffer:
+    """Filtered, IMU-frame point buffer (the reference's points_buff_,
+    lidar_odometry.cc:489-496) — pure-numpy implementation; io/native.py
+    provides the drop-in C++ twin."""
+
+    def __init__(self, cfg: WildcatConfig):
+        self._min2 = cfg.min_range**2
+        self._max2 = cfg.max_range**2
+        self._bb_min = np.asarray(cfg.blind_box_min)
+        self._bb_max = np.asarray(cfg.blind_box_max)
+        self._rot = np.asarray(cfg.ext_lidar2imu_rot, np.float64).reshape(3, 3)
+        self._pos = np.asarray(cfg.ext_lidar2imu_pos, np.float64)
+        self.t = np.zeros((0,), np.float64)
+        self.xyz = np.zeros((0, 3), np.float64)
+
+    def add_points(self, times: np.ndarray, pts_lidar: np.ndarray) -> int:
+        p = pts_lidar @ self._rot.T + self._pos
+        r2 = np.sum(p * p, axis=1)
+        in_box = np.all((p >= self._bb_min) & (p <= self._bb_max), axis=1)
+        keep = (r2 >= self._min2) & (r2 <= self._max2) & ~in_box
+        self.t = np.concatenate([self.t, times[keep]])
+        self.xyz = np.concatenate([self.xyz, p[keep]])
+        return int(keep.sum())
+
+    def __len__(self) -> int:
+        return len(self.t)
+
+    @property
+    def front_time(self) -> float:
+        return float(self.t[0]) if len(self.t) else float("nan")
+
+    @property
+    def back_time(self) -> float:
+        return float(self.t[-1]) if len(self.t) else float("nan")
+
+    def drop_before(self, t_cut: float) -> int:
+        n = int(np.searchsorted(self.t, t_cut, side="left"))
+        self.t, self.xyz = self.t[n:], self.xyz[n:]
+        return n
+
+    def pop_sweep(self, t_end: float, epoch: float, out_t: np.ndarray, out_xyz: np.ndarray) -> int:
+        n = int(np.searchsorted(self.t, t_end, side="left"))
+        m = min(n, len(out_t))
+        out_t[:m] = (self.t[:m] - epoch).astype(np.float32)
+        out_xyz[:m] = self.xyz[:m].astype(np.float32)
+        self.t, self.xyz = self.t[n:], self.xyz[n:]
+        return m
+
+    def dump(self):
+        return self.t.copy(), self.xyz.copy()
+
+    def restore(self, t: np.ndarray, xyz: np.ndarray) -> None:
+        self.t = np.concatenate([self.t, np.asarray(t, np.float64)])
+        self.xyz = np.concatenate([self.xyz, np.asarray(xyz, np.float64)])
+
+
 class LidarOdometry:
     """Host-facing odometry frontend (mirrors LidarOdometry + the node driver).
 
@@ -245,16 +301,29 @@ class LidarOdometry:
         lo.add_imu(t, acc, gyr)          # raw IMU, any rate
         lo.add_scan(times, points_lidar) # one lidar scan (lidar frame)
         lo.trajectory                    # [(t, pos(3), quat wxyz(4)), ...]
+
+    ``use_native=True`` swaps the host feeder (point filtering/buffering and IMU
+    resampling) for the C++ implementation in native/feeder.cc via ctypes; both
+    paths are output-identical (tests/test_native.py).
     """
 
-    def __init__(self, cfg: WildcatConfig = WildcatConfig(), collect_clouds: bool = False):
+    def __init__(self, cfg: WildcatConfig = WildcatConfig(), collect_clouds: bool = False,
+                 use_native: bool = False):
         self.cfg = cfg
         self.dtype = jnp.float32 if cfg.dtype == "float32" else jnp.float64
         self.state = WindowState.empty(cfg, self.dtype)
-        self.resampler = imu_mod.ImuResampler(cfg.imu_rate)
+        if use_native:
+            from wildcat_slam_tpu.io import native
+
+            self.resampler = native.NativeResampler(cfg.imu_rate)
+            self.points = native.NativeFeeder(
+                np.asarray(cfg.ext_lidar2imu_rot, np.float64).reshape(3, 3),
+                cfg.ext_lidar2imu_pos, cfg.min_range, cfg.max_range,
+                cfg.blind_box_min, cfg.blind_box_max)
+        else:
+            self.resampler = imu_mod.ImuResampler(cfg.imu_rate)
+            self.points = _NumpyPointBuffer(cfg)
         self.imu_queue: List[tuple] = []   # resampled (t, acc, gyr), f64
-        self.pts_t = np.zeros((0,), np.float64)
-        self.pts_xyz = np.zeros((0, 3), np.float64)
         self.synced = False
         self.initialized = False
         self.epoch: Optional[float] = None
@@ -267,9 +336,6 @@ class LidarOdometry:
         self._pending: List[tuple] = []  # (back_t, device outputs) not yet fetched
         self.residuals: List[dict] = []  # post-solve residual snapshots (debug)
         self.clouds: List[np.ndarray] = [] if collect_clouds else None
-
-        self._ext_rot = np.asarray(cfg.ext_lidar2imu_rot, np.float64).reshape(3, 3)
-        self._ext_pos = np.asarray(cfg.ext_lidar2imu_pos, np.float64)
         self._stride = int(round(cfg.sample_dt * cfg.imu_rate))
 
     def _flush(self) -> None:
@@ -311,14 +377,8 @@ class LidarOdometry:
     def add_scan(self, times: np.ndarray, points_lidar: np.ndarray):
         """One lidar scan: per-point absolute times (sorted) + (N, 3) points in
         the lidar frame. Applies extrinsic + filters (cc:489-496) and buffers."""
-        p = points_lidar @ self._ext_rot.T + self._ext_pos
-        rng = np.linalg.norm(p, axis=1)
-        bb_min = np.asarray(self.cfg.blind_box_min)
-        bb_max = np.asarray(self.cfg.blind_box_max)
-        in_box = np.all((p >= bb_min) & (p <= bb_max), axis=1)
-        keep = (rng >= self.cfg.min_range) & (rng <= self.cfg.max_range) & ~in_box
-        self.pts_t = np.concatenate([self.pts_t, times[keep]])
-        self.pts_xyz = np.concatenate([self.pts_xyz, p[keep]])
+        self.points.add_points(np.ascontiguousarray(times, np.float64),
+                               np.ascontiguousarray(points_lidar, np.float32))
         while self._try_process():
             pass
 
@@ -326,27 +386,25 @@ class LidarOdometry:
     def _sync(self) -> bool:
         if self.synced:
             return True
-        if not self.imu_queue or len(self.pts_t) == 0:
+        if not self.imu_queue or len(self.points) == 0:
             return False
-        if self.imu_queue[-1][0] < self.pts_t[0]:
+        if self.imu_queue[-1][0] < self.points.front_time:
             return False
-        while self.imu_queue and self.imu_queue[0][0] < self.pts_t[0]:
+        while self.imu_queue and self.imu_queue[0][0] < self.points.front_time:
             self.imu_queue.pop(0)
-        first_imu = self.imu_queue[0][0]
-        keep = self.pts_t >= first_imu
-        self.pts_t, self.pts_xyz = self.pts_t[keep], self.pts_xyz[keep]
-        if len(self.pts_t) == 0:
+        self.points.drop_before(self.imu_queue[0][0])
+        if len(self.points) == 0:
             return False
         self.synced = True
         return True
 
     def _try_process(self) -> bool:
         cfg = self.cfg
-        if not self._sync() or len(self.pts_t) == 0 or not self.imu_queue:
+        if not self._sync() or len(self.points) == 0 or not self.imu_queue:
             return False
 
-        sweep_end = self.pts_t[0] + cfg.sweep_duration
-        if self.pts_t[-1] < sweep_end:
+        sweep_end = self.points.front_time + cfg.sweep_duration
+        if self.points.back_time < sweep_end:
             return False
         # wait until IMU covers one tick past the last new sample state
         if self.imu_queue[-1][0] < sweep_end + 1.0 / cfg.imu_rate:
@@ -402,14 +460,9 @@ class LidarOdometry:
             sam_t[i] = tt - self.epoch
 
         # --- sweep points: all buffered points before the new sample back ---
-        n_pts = int(np.searchsorted(self.pts_t, sample_back_abs, side="left"))
-        n_pts_cap = min(n_pts, cfg.max_points_per_sweep)
-        p_t = np.zeros((cfg.max_points_per_sweep,), np.float64)
-        p_xyz = np.zeros((cfg.max_points_per_sweep, 3), np.float64)
-        p_t[:n_pts_cap] = self.pts_t[:n_pts_cap] - self.epoch
-        p_xyz[:n_pts_cap] = self.pts_xyz[:n_pts_cap]
-        self.pts_t = self.pts_t[n_pts:]
-        self.pts_xyz = self.pts_xyz[n_pts:]
+        p_t = np.zeros((cfg.max_points_per_sweep,), np.float32)
+        p_xyz = np.zeros((cfg.max_points_per_sweep, 3), np.float32)
+        n_pts_cap = self.points.pop_sweep(sample_back_abs, self.epoch, p_t, p_xyz)
 
         # --- host-side window trim bookkeeping (exact f64 grid) ---
         all_samples = self.sample_times + new_sample_abs
