@@ -44,19 +44,6 @@ from wildcat_slam_tpu.config import WildcatConfig
 from wildcat_slam_tpu.ops import voxel
 from wildcat_slam_tpu.ops.eigh3 import eigh3
 
-_COORD_BITS = 20
-_BIAS = 1 << (_COORD_BITS - 1)
-
-
-def _split_keys(cell: jnp.ndarray):
-    """(P, 3) int32 cell coords -> two int32 sort keys (30 bits each),
-    collision-free for coords in [-2^19, 2^19)."""
-    c = cell + _BIAS
-    hi = (c[:, 0] << 10) | (c[:, 1] >> 10)
-    lo = ((c[:, 1] & 1023) << 20) | c[:, 2]
-    return hi, lo
-
-
 def _unpack_sym(m6: jnp.ndarray) -> jnp.ndarray:
     """(..., 6) [xx yy zz xy xz yz] -> full symmetric (..., 3, 3)."""
     xx, yy, zz, xy, xz, yz = (m6[..., i] for i in range(6))
@@ -99,7 +86,7 @@ def extract_surfels(
     for level in range(n_levels):
         size = cfg.voxel_size / (2.0**level)
         cell = jnp.floor(pts / size).astype(jnp.int32)
-        hi, lo = _split_keys(cell)
+        hi, lo = voxel.split_keys(cell)
         big = jnp.int32(2**31 - 1)
         hi = jnp.where(valid, hi, big)
         lo = jnp.where(valid, lo, big)

@@ -16,19 +16,16 @@ import jax.numpy as jnp
 # 0.2 m cells that is a +-104 km world span — far beyond lidar range.
 _BITS = 20
 _BIAS = 1 << (_BITS - 1)
-_MASK = (1 << _BITS) - 1
 
 
-def pack_cells(cell_xyz: jnp.ndarray) -> jnp.ndarray:
-    """Pack integer cell coords (..., 3) int32 into a single int64 key (collision-free,
-    unlike the reference's modular hash at surfel_extraction.h:72-81)."""
-    c = cell_xyz.astype(jnp.int64) + _BIAS
-    return (c[..., 0] << (2 * _BITS)) | (c[..., 1] << _BITS) | c[..., 2]
-
-
-def cell_coords(points: jnp.ndarray, voxel_size: float) -> jnp.ndarray:
-    """floor(p / voxel_size) per axis (VoxelLoc ctor, surfel_extraction.h:59-64)."""
-    return jnp.floor(points / voxel_size).astype(jnp.int32)
+def split_keys(cell_xyz: jnp.ndarray):
+    """Pack integer cell coords (N, 3) int32 into two int32 sort keys (30 bits
+    each) — collision-free, unlike the reference's modular hash
+    (surfel_extraction.h:72-81), and int32-native for the TPU (no int64)."""
+    c = cell_xyz + _BIAS
+    hi = (c[..., 0] << 10) | (c[..., 1] >> 10)
+    lo = ((c[..., 1] & 1023) << 20) | c[..., 2]
+    return hi, lo
 
 
 def segment_ids_from_sorted_keys(sorted_keys: jnp.ndarray):
