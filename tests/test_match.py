@@ -116,3 +116,22 @@ class TestSelfMatch:
             assert np.arccos(np.clip(np.dot(n[i], n[j]), -1, 1)) <= ANG
             assert abs(np.dot(n[i], c[i] - c[j])) <= 0.1
             assert i != j
+
+
+class TestKnnSearch:
+    def test_self_query_returns_self(self):
+        # knn_surfel_matcher_test.cc:19-43: random 6-D points, self-query must
+        # return the point itself as the nearest neighbor
+        from wildcat_slam_tpu.odometry.match import knn_search
+
+        rng = np.random.default_rng(0)
+        n, cap = 1000, 1024
+        c = np.zeros((cap, 3)); c[:n] = rng.uniform(-50, 50, (n, 3))
+        nv = np.zeros((cap, 3)); nv[:n] = rng.normal(size=(n, 3))
+        nv[:n] /= np.linalg.norm(nv[:n], axis=1, keepdims=True)
+        v = np.arange(cap) < n
+        idx, d2 = knn_search(jnp.asarray(c), jnp.asarray(nv), jnp.asarray(v),
+                             jnp.asarray(c), jnp.asarray(nv), jnp.asarray(v), k=10)
+        idx, d2 = np.asarray(idx), np.asarray(d2)
+        np.testing.assert_array_equal(idx[:n, 0], np.arange(n))
+        np.testing.assert_allclose(d2[:n, 0], 0.0, atol=1e-4)

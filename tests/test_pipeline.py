@@ -95,3 +95,17 @@ class TestWindowBehavior:
         assert int(lo.state.fix.count) > 0
         # matching against the fixed window kicked in
         assert any(int(s["n_pairs_fix"]) > 0 for s in lo.stats)
+
+
+class TestInputValidation:
+    def test_unsorted_scan_times_rejected(self):
+        lo = LidarOdometry(_small_cfg())
+        with pytest.raises(ValueError, match="non-decreasing"):
+            lo.add_scan(np.array([1.0, 0.5]), np.zeros((2, 3)))
+
+    def test_out_of_order_scans_rejected(self):
+        # the reference CHECK-aborts on disordered scans (lidar_odometry.cc:491)
+        lo = LidarOdometry(_small_cfg())
+        lo.add_scan(np.array([1.0, 1.1]), np.full((2, 3), 5.0))
+        with pytest.raises(ValueError, match="time order"):
+            lo.add_scan(np.array([0.9, 1.2]), np.full((2, 3), 5.0))

@@ -33,6 +33,33 @@ import jax
 import jax.numpy as jnp
 
 
+@partial(jax.jit, static_argnames=("k",))
+def knn_search(
+    cq: jnp.ndarray, nq: jnp.ndarray, vq: jnp.ndarray,
+    ct: jnp.ndarray, nt: jnp.ndarray, vt: jnp.ndarray,
+    *,
+    center_dist: float = 1.0,
+    angular_dist: float = 5.0 * jnp.pi / 180.0,
+    k: int = 10,
+):
+    """k nearest targets per query in the 6-D scaled descriptor space
+    (KnnSurfelMatcher::KNearestSearch, knn_surfel_matcher.cc:51-89).
+    Returns (indices (Q, k), squared distances (Q, k))."""
+    dtype = cq.dtype
+    dq = jnp.concatenate([cq / center_dist, nq / angular_dist], axis=1)
+    dt_ = jnp.concatenate([ct / center_dist, nt / angular_dist], axis=1)
+    far = jnp.asarray(1e6, dtype)
+    dt_ = jnp.where(vt[:, None], dt_, far)
+    dq = jnp.where(vq[:, None], dq, -far)
+    d2 = (
+        jnp.sum(dq * dq, axis=1)[:, None]
+        - 2.0 * dq @ dt_.T
+        + jnp.sum(dt_ * dt_, axis=1)[None, :]
+    )
+    neg, knn = jax.lax.top_k(-d2, k)
+    return knn, -neg
+
+
 @partial(jax.jit, static_argnames=("k", "max_pairs", "self_match"))
 def match_surfels(
     cq: jnp.ndarray, nq: jnp.ndarray, tq: jnp.ndarray, vq: jnp.ndarray,
@@ -55,25 +82,12 @@ def match_surfels(
     instead (iq, it) preserve roles and ``swap`` is applied by the caller via
     times. (The emitted pair always has t[s1] < t[s2] when consumed by factors.)
     """
-    dtype = cq.dtype
-    q_cap, t_cap = cq.shape[0], ct.shape[0]
+    q_cap = cq.shape[0]
 
-    dq = jnp.concatenate([cq / center_dist, nq / angular_dist], axis=1)
-    dt_ = jnp.concatenate([ct / center_dist, nt / angular_dist], axis=1)
-    # push invalid targets far away so they never enter the top-k
-    far = jnp.asarray(1e6, dtype)
-    dt_ = jnp.where(vt[:, None], dt_, far)
-    dq = jnp.where(vq[:, None], dq, -far)  # invalid queries match nothing
-
-    # (Q, T) squared distances via the MXU
-    d2 = (
-        jnp.sum(dq * dq, axis=1)[:, None]
-        - 2.0 * dq @ dt_.T
-        + jnp.sum(dt_ * dt_, axis=1)[None, :]
-    )
     # (measured: the TopK custom call beats a two-stage tiled top-k, which XLA
     # lowers to a slower variadic sort)
-    _, knn = jax.lax.top_k(-d2, k)  # (Q, k) candidate target indices
+    knn, _ = knn_search(cq, nq, vq, ct, nt, vt,
+                        center_dist=center_dist, angular_dist=angular_dist, k=k)
 
     # Per-candidate filter mask (vectorized once for all ranks).
     cand_t = tt[knn]                            # (Q, k)

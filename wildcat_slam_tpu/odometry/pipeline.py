@@ -376,9 +376,18 @@ class LidarOdometry:
     # ----------------------------------------------------------------- scan
     def add_scan(self, times: np.ndarray, points_lidar: np.ndarray):
         """One lidar scan: per-point absolute times (sorted) + (N, 3) points in
-        the lidar frame. Applies extrinsic + filters (cc:489-496) and buffers."""
-        self.points.add_points(np.ascontiguousarray(times, np.float64),
-                               np.ascontiguousarray(points_lidar, np.float32))
+        the lidar frame. Applies extrinsic + filters (cc:489-496) and buffers.
+        Raises on non-monotonic point times (the reference CHECK-aborts,
+        lidar_odometry.cc:491)."""
+        times = np.ascontiguousarray(times, np.float64)
+        if len(times):
+            if np.any(np.diff(times) < 0):
+                raise ValueError("point times within a scan must be non-decreasing")
+            if len(self.points) and times[0] < self.points.back_time:
+                raise ValueError(
+                    f"scan starts at {times[0]:.6f} before the buffered tail "
+                    f"{self.points.back_time:.6f}; scans must arrive in time order")
+        self.points.add_points(times, np.ascontiguousarray(points_lidar, np.float32))
         while self._try_process():
             pass
 
