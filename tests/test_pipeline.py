@@ -109,3 +109,15 @@ class TestInputValidation:
         lo.add_scan(np.array([1.0, 1.1]), np.full((2, 3), 5.0))
         with pytest.raises(ValueError, match="time order"):
             lo.add_scan(np.array([0.9, 1.2]), np.full((2, 3), 5.0))
+
+
+class TestOutlierRobustness:
+    def test_clutter_does_not_break_tracking(self):
+        # 15% of returns are floating clutter: the Cauchy loss (and the plane
+        # tests in extraction) must keep the trajectory at mm-cm level
+        seq = SyntheticSequence(duration=1.6, points_per_scan=4000, room_half=4.0,
+                                seed=0, outlier_fraction=0.15)
+        lo = _run(seq, _small_cfg())
+        assert lo.sweep_id >= 3
+        err = ate_rmse(lo.trajectory, lambda t: seq.gt_pose(t)[0], align=False)
+        assert err < 0.05, f"ATE with outliers {err}"

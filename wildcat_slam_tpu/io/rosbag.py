@@ -65,13 +65,6 @@ def _read_string(buf: bytes, off: int) -> Tuple[str, int]:
     return buf[off + 4 : off + 4 + n].decode(errors="replace"), off + 4 + n
 
 
-def _skip_header(buf: bytes, off: int) -> int:
-    off += 4  # seq
-    off += 8  # stamp
-    (n,) = struct.unpack_from("<I", buf, off)
-    return off + 4 + n
-
-
 def _parse_imu(data: bytes):
     """sensor_msgs/Imu -> (t, acc (3,), gyr (3,)); t from the header stamp."""
     off = 4  # seq

@@ -66,6 +66,7 @@ class SyntheticSequence:
         scan_period: float = 0.1,
         room_half: float = 8.0,
         noise_range: float = 0.003,
+        outlier_fraction: float = 0.0,
         gravity: float = 9.81,
         speed: float = 1.0,
         seed: int = 0,
@@ -138,6 +139,12 @@ class SyntheticSequence:
             t_hit = np.where(ok, t_hit, 1.0)
             hits_w = p_s + d_w * t_hit[:, None]
             hits_w += rng.normal(scale=noise_range, size=hits_w.shape) * d_w  # range noise
+            if outlier_fraction > 0.0:
+                # floating clutter / dynamic-object returns at random ranges —
+                # exercises the Cauchy robustification of the surfel factors
+                n_out = int(outlier_fraction * points_per_scan)
+                which = rng.choice(points_per_scan, n_out, replace=False)
+                hits_w[which] = p_s[which] + d_w[which] * rng.uniform(0.5, 6.0, (n_out, 1))
 
             # world -> imu body -> lidar frame
             hits_b = np.einsum("nij,nj->ni", r_s.as_matrix().transpose(0, 2, 1), hits_w - p_s)
