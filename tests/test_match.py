@@ -69,6 +69,7 @@ def run_module(cq, nq, tq, ct, nt, tt, self_match, q_cap=256, t_cap=256):
         pad(ct, t_cap, 3), pad(nt, t_cap, 3), pad(tt, t_cap),
         jnp.asarray(vt),
         k=10, max_pairs=512, self_match=self_match,
+        approx=False,  # the sequential-oracle comparison needs exact knn ranks
     )
     v = np.asarray(valid)
     return list(zip(np.asarray(iq)[v].tolist(), np.asarray(it)[v].tolist()))
@@ -131,7 +132,26 @@ class TestKnnSearch:
         nv[:n] /= np.linalg.norm(nv[:n], axis=1, keepdims=True)
         v = np.arange(cap) < n
         idx, d2 = knn_search(jnp.asarray(c), jnp.asarray(nv), jnp.asarray(v),
-                             jnp.asarray(c), jnp.asarray(nv), jnp.asarray(v), k=10)
+                             jnp.asarray(c), jnp.asarray(nv), jnp.asarray(v), k=10,
+                             approx=False)
         idx, d2 = np.asarray(idx), np.asarray(d2)
         np.testing.assert_array_equal(idx[:n, 0], np.arange(n))
         np.testing.assert_allclose(d2[:n, 0], 0.0, atol=1e-4)
+
+    def test_approx_recall_vs_exact(self):
+        # the production path uses approx_max_k (recall_target 0.95); check the
+        # realized recall against exact top-k on a realistic descriptor cloud
+        from wildcat_slam_tpu.odometry.match import knn_search
+
+        rng = np.random.default_rng(1)
+        n, cap = 3000, 4096
+        c = np.zeros((cap, 3)); c[:n] = rng.uniform(-30, 30, (n, 3))
+        nv = np.zeros((cap, 3)); nv[:n] = rng.normal(size=(n, 3))
+        nv[:n] /= np.linalg.norm(nv[:n], axis=1, keepdims=True)
+        v = np.arange(cap) < n
+        a = [jnp.asarray(c), jnp.asarray(nv), jnp.asarray(v)]
+        idx_a, _ = knn_search(*a, *a, k=10, approx=True)
+        idx_e, _ = knn_search(*a, *a, k=10, approx=False)
+        idx_a, idx_e = np.asarray(idx_a)[:n], np.asarray(idx_e)[:n]
+        recall = np.mean([len(set(ra) & set(re)) / 10.0 for ra, re in zip(idx_a, idx_e)])
+        assert recall >= 0.9

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("k",))
+@partial(jax.jit, static_argnames=("k", "approx"))
 def knn_search(
     cq: jnp.ndarray, nq: jnp.ndarray, vq: jnp.ndarray,
     ct: jnp.ndarray, nt: jnp.ndarray, vt: jnp.ndarray,
@@ -41,10 +41,20 @@ def knn_search(
     center_dist: float = 1.0,
     angular_dist: float = 5.0 * jnp.pi / 180.0,
     k: int = 10,
+    approx: bool = True,
 ):
     """k nearest targets per query in the 6-D scaled descriptor space
     (KnnSurfelMatcher::KNearestSearch, knn_surfel_matcher.cc:51-89).
-    Returns (indices (Q, k), squared distances (Q, k))."""
+    Returns (indices (Q, k), squared distances (Q, k)).
+
+    ``approx=True`` selects :func:`jax.lax.approx_max_k` — the TPU-native
+    partial-reduce top-k (Chern et al. 2022) — instead of the exact TopK custom
+    call, which dominated the match cost (~6 ms/sweep at Q=4k, T=4k+8k; the
+    approx kernel is ~5x faster). A >=95% per-candidate recall is more faithful
+    to the reference than exactness is: its FLANN index is built with
+    ``flann::KDTreeSingleIndexParams`` + finite ``checks`` (approximate search,
+    knn_surfel_matcher.cc:61-66), and the downstream Cauchy-robust factors are
+    insensitive to an occasional rank-swapped neighbour."""
     dtype = cq.dtype
     dq = jnp.concatenate([cq / center_dist, nq / angular_dist], axis=1)
     dt_ = jnp.concatenate([ct / center_dist, nt / angular_dist], axis=1)
@@ -56,11 +66,14 @@ def knn_search(
         - 2.0 * dq @ dt_.T
         + jnp.sum(dt_ * dt_, axis=1)[None, :]
     )
-    neg, knn = jax.lax.top_k(-d2, k)
-    return knn, -neg
+    if approx:
+        neg, knn = jax.lax.approx_max_k(-d2, k, recall_target=0.95)
+    else:
+        neg, knn = jax.lax.top_k(-d2, k)
+    return knn.astype(jnp.int32), -neg
 
 
-@partial(jax.jit, static_argnames=("k", "max_pairs", "self_match"))
+@partial(jax.jit, static_argnames=("k", "max_pairs", "self_match", "approx"))
 def match_surfels(
     cq: jnp.ndarray, nq: jnp.ndarray, tq: jnp.ndarray, vq: jnp.ndarray,
     ct: jnp.ndarray, nt: jnp.ndarray, tt: jnp.ndarray, vt: jnp.ndarray,
@@ -72,6 +85,7 @@ def match_surfels(
     k: int = 10,
     max_pairs: int = 8192,
     self_match: bool = False,
+    approx: bool = True,
 ):
     """Match query surfels (cq centers, nq world normals, tq times, vq valid)
     against targets. For ``self_match=True`` query and target must be the same
@@ -85,9 +99,10 @@ def match_surfels(
     q_cap = cq.shape[0]
 
     # (measured: the TopK custom call beats a two-stage tiled top-k, which XLA
-    # lowers to a slower variadic sort)
+    # lowers to a slower variadic sort; approx_max_k beats both — see knn_search)
     knn, _ = knn_search(cq, nq, vq, ct, nt, vt,
-                        center_dist=center_dist, angular_dist=angular_dist, k=k)
+                        center_dist=center_dist, angular_dist=angular_dist, k=k,
+                        approx=approx)
 
     # Per-candidate filter mask (vectorized once for all ranks).
     cand_t = tt[knn]                            # (Q, k)

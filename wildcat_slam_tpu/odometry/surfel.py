@@ -148,7 +148,8 @@ def extract_surfels(
         lv = per_level[level]
         by_point_sorted = seg_vals[lv["seg_id"]]
         out = jnp.zeros(by_point_sorted.shape, by_point_sorted.dtype)
-        return out.at[lv["perm"]].set(by_point_sorted)
+        # perm is a permutation: provably unique indices (vectorized scatter)
+        return out.at[lv["perm"]].set(by_point_sorted, unique_indices=True)
 
     bigs = [to_unsorted(l, per_level[l]["big"]) for l in range(n_levels)]
     planes = [to_unsorted(l, per_level[l]["plane"]) for l in range(n_levels)]
