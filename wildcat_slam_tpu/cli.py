@@ -18,6 +18,7 @@ reading --dataset (useful for smoke runs and benchmarking without data).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -74,12 +75,16 @@ def main(argv=None) -> int:
         elif args.bag:
             from wildcat_slam_tpu.io.rosbag import read_bag
 
+            if not os.path.exists(args.bag):
+                ap.error(f"--bag: no such file: {args.bag}")
             yield from read_bag(args.bag, args.imu_topic, args.lidar_topic)
         else:
             if not args.dataset:
                 ap.error("need --dataset, --bag, or --synthetic")
             from wildcat_slam_tpu.io.dataset import Dataset
 
+            if not os.path.isdir(args.dataset):
+                ap.error(f"--dataset: no such directory: {args.dataset}")
             yield from Dataset(args.dataset)
 
     def run():

@@ -46,8 +46,17 @@ def sample_bracket(sample: SampleStates, t_query: jnp.ndarray):
     """
     big = jnp.asarray(jnp.finfo(sample.t.dtype).max, sample.t.dtype)
     tpad = jnp.where(sample.mask, sample.t, big)
-    ir = jnp.searchsorted(tpad, t_query.astype(sample.t.dtype), side="right",
-                          method="scan_unrolled")  # while-loop lowering is slow on TPU
+    q = t_query.astype(sample.t.dtype)
+    # The sample grid is uniform by construction (one state per sample_dt tick,
+    # lidar_odometry.cc:404-419), so the upper_bound is O(1) arithmetic with a
+    # correction against the stored times (f32 rounding and exact tick queries
+    # can put the floor guess up to two steps low — e.g. q exactly on tick m
+    # must yield m+1). Replaces an unrolled bisection (~0.9 ms/sweep).
+    n = sample.t.shape[0]
+    ir = jnp.floor((q - sample.t[0]) / (sample.t[1] - sample.t[0])).astype(jnp.int32)
+    ir = jnp.clip(ir, 0, n - 1)
+    for _ in range(2):  # first k with tpad[k] > q (std::upper_bound)
+        ir = jnp.where(tpad[ir] <= q, jnp.minimum(ir + 1, n - 1), ir)
     ir = jnp.clip(ir, 1, sample.count - 1).astype(jnp.int32)
     il = ir - 1
     tl, tr = sample.t[il], sample.t[ir]

@@ -185,10 +185,19 @@ def bracket_indices(imu: ImuStates, query_t: jnp.ndarray) -> jnp.ndarray:
     so (idx-1, idx) always brackets within the valid range."""
     big = jnp.asarray(jnp.finfo(imu.t.dtype).max, imu.t.dtype)
     t_pad = jnp.where(imu.mask, imu.t, big)
-    # scan_unrolled: the default 'scan' method lowers to a lax.while_loop whose
-    # per-iteration overhead dominates on TPU; unrolled bisection fuses
-    idx = jnp.searchsorted(t_pad, query_t.astype(imu.t.dtype), side="left",
-                           method="scan_unrolled")
+    q = query_t.astype(imu.t.dtype)
+    # The IMU grid is uniform by construction — the resampler emits t0 + k/rate
+    # (the reference CHECK_NEARs uniform dt, lidar_odometry.cc:119) — so the
+    # bracket is O(1) arithmetic instead of a bisection (which cost ~3 ms/sweep
+    # at 32k queries). f32 rounding can put the guess one step off and grid
+    # ticks must resolve exactly, so the guess is corrected against the actual
+    # stored times (two monotone steps cover the worst case, incl. exact ties).
+    n = imu.t.shape[0]
+    rate = 1.0 / (imu.t[1] - imu.t[0])
+    idx = jnp.floor((q - imu.t[0]) * rate).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, n - 1)
+    for _ in range(2):  # first k with t_pad[k] >= q (std::lower_bound)
+        idx = jnp.where(t_pad[idx] < q, jnp.minimum(idx + 1, n - 1), idx)
     return jnp.clip(idx, 1, imu.count - 1)
 
 

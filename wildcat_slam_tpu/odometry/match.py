@@ -3,8 +3,9 @@
 TPU-native replacement for ``KnnSurfelMatcher`` (knn_surfel_matcher.{h,cc}): the
 FLANN KD-tree over 6-D descriptors becomes one dense masked distance computation
 (a (Q, T) matmul on the MXU — window surfel counts are 10^2..10^4, where a
-brute-force tile beats tree construction) followed by ``lax.top_k``; the
-reference's sequential accept loop becomes k parallel acceptance rounds.
+brute-force tile beats tree construction) followed by ``lax.approx_max_k``
+(exact ``lax.top_k`` available via ``approx=False``); the reference's
+sequential accept loop becomes k parallel acceptance rounds.
 
 Descriptor (knn_surfel_matcher.cc:91-98): center / kCenterDistThreshold (1 m)
 concatenated with world normal / kAngularDistThreshold (5 deg).

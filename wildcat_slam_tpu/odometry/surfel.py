@@ -186,11 +186,12 @@ def extract_surfels(
         s1 = moments[:, 1:4]
         s2 = _unpack_sym(moments[:, 4:10])
         st = moments[:, 10]
-        big = jnp.int32(2**31 - 1)
-        cmin = jnp.stack(
-            [jax.ops.segment_min(jnp.where(cand_s, lv["cmin"][lv["seg_id"], k], big), cl_id, num_segments=nc) for k in range(3)],
-            axis=1,
-        )
+        # a cluster subdivides one cell in time, so its cell coords are those of
+        # its first point: one unique-index scatter + gather instead of three
+        # segment_mins (which cost ~4.8 ms/sweep across the levels)
+        sp = voxel.segment_start_positions(cl_id, new_cluster, nc)
+        sp = jnp.clip(sp, 0, p_cap - 1)
+        cmin = lv["cmin"][lv["seg_id"][sp]]
 
         n_safe = jnp.maximum(n_cl, 1.0)
         mean_q = s1 / n_safe[:, None]
