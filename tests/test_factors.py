@@ -200,3 +200,26 @@ class TestImuFactor:
         # (acc_world - acc_est + grav = 0 when states follow the recurrence)
         r = np.asarray(r)[np.asarray(fac.valid)]
         np.testing.assert_allclose(r[:, 3:6], 0.0, atol=1e-9)
+
+
+class TestSampleBracket:
+    def test_matches_searchsorted_including_exact_ticks(self):
+        # the O(1) uniform-grid bracket must reproduce std::upper_bound exactly,
+        # including queries landing exactly on sample ticks (every 16th IMU
+        # state time coincides with a tick) and f32 grids
+        for dtype in (jnp.float32, jnp.float64):
+            ss = _rand_sample_states(s_cap=48, n=40)
+            ss = ss.replace(t=ss.t.astype(dtype))
+            t = np.asarray(ss.t)[:40]
+            rng = np.random.default_rng(7)
+            q = np.concatenate([
+                t,                                   # exact ticks
+                t[:-1] + np.diff(t) * rng.uniform(0.01, 0.99, 39),  # interior
+                [t[0] - 0.05, t[-1] + 0.05],         # out of range
+            ]).astype(np.float64 if dtype == jnp.float64 else np.float32)
+            il, ir, f = fmod.sample_bracket(ss, jnp.asarray(q, dtype))
+            ref_ir = np.clip(np.searchsorted(t, q, side="right"), 1, 40 - 1)
+            np.testing.assert_array_equal(np.asarray(ir), ref_ir)
+            np.testing.assert_array_equal(np.asarray(il), ref_ir - 1)
+            ref_f = np.clip((q - t[ref_ir - 1]) / (t[ref_ir] - t[ref_ir - 1]), 0, 1)
+            np.testing.assert_allclose(np.asarray(f), ref_f, atol=1e-6)

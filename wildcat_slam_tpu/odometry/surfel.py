@@ -137,36 +137,44 @@ def extract_surfels(
             dict(
                 perm=perm, seg_id=seg_id, is_start=is_start, t_s=t_s, valid_s=valid_s,
                 anchor=anchor, q=q, w=w, n=n_seg, plane=node_plane, big=node_big,
-                cmin=cmin, size=size,
+                cmin=cmin, size=size, start_pos=start_pos,
             )
         )
 
-    # --- hierarchy gating, evaluated per point (each point knows its node ids) ---
-    # flags gathered back to the *unsorted* point order via scatter of sorted flags
-    def to_unsorted(level, seg_vals):
-        """Gather per-segment values to points (sorted order), then unsort."""
-        lv = per_level[level]
-        by_point_sorted = seg_vals[lv["seg_id"]]
-        out = jnp.zeros(by_point_sorted.shape, by_point_sorted.dtype)
-        # perm is a permutation: provably unique indices (vectorized scatter)
-        return out.at[lv["perm"]].set(by_point_sorted, unique_indices=True)
+    # --- hierarchy gating, evaluated per SEGMENT (not per point) ---
+    # Each child segment's parent cell is found through the child's first point:
+    # input index perm_l[start], position in the parent's sort order via the
+    # parent's inverse permutation, then the parent's seg_id there. One int32
+    # inverse-permutation scatter per parent level replaces six per-point flag
+    # scatters + per-point flag combination (~2.8 ms/sweep at 32k points).
+    arange_p = jnp.arange(p_cap, dtype=jnp.int32)
+    inv_perm = []
+    for l in range(n_levels - 1):  # only parent levels need an inverse
+        ip = jnp.zeros((p_cap,), jnp.int32).at[per_level[l]["perm"]].set(
+            arange_p, unique_indices=True)
+        inv_perm.append(ip)
 
-    bigs = [to_unsorted(l, per_level[l]["big"]) for l in range(n_levels)]
-    planes = [to_unsorted(l, per_level[l]["plane"]) for l in range(n_levels)]
+    def parent_seg(level):
+        """Parent-level segment id for every level segment slot."""
+        lv = per_level[level]
+        i0 = lv["perm"][jnp.clip(lv["start_pos"], 0, p_cap - 1)]
+        return per_level[level - 1]["seg_id"][inv_perm[level - 1][i0]]
+
     # level 0 fits when big; level 1 always follows a big root (forced split,
     # surfel_extraction.cc:131-137); deeper levels only under non-planar parents
-    fitted = [bigs[0]]
+    fitted = [per_level[0]["big"]]
     for l in range(1, n_levels):
-        parent_open = fitted[l - 1] if l == 1 else fitted[l - 1] & ~planes[l - 1]
-        fitted.append(parent_open & bigs[l])
-    cand = [fitted[l] & planes[l] for l in range(n_levels)]  # per point, unsorted
+        prev = per_level[l - 1]
+        parent_open = fitted[l - 1] if l == 1 else fitted[l - 1] & ~prev["plane"]
+        fitted.append(parent_open[parent_seg(l)] & per_level[l]["big"])
+    cand = [fitted[l] & per_level[l]["plane"] for l in range(n_levels)]  # per segment
 
     # --- temporal clustering within candidate nodes, per level ---
     out_chunks = []
     nc = cfg.max_leaves_per_sweep
     for level in range(n_levels):
         lv = per_level[level]
-        cand_s = cand[level][lv["perm"]] & lv["valid_s"]
+        cand_s = cand[level][lv["seg_id"]] & lv["valid_s"]
 
         gap = jnp.concatenate(
             [jnp.ones((1,), bool), (lv["t_s"][1:] - lv["t_s"][:-1]) > cfg.cluster_time_gap]
