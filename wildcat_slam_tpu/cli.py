@@ -44,6 +44,8 @@ def main(argv=None) -> int:
     ap.add_argument("--max-sweeps", type=int, default=None)
     ap.add_argument("--residual-hist", action="store_true",
                     help="print post-solve residual histograms per sweep")
+    ap.add_argument("--exact-knn", action="store_true",
+                    help="exact top-k correspondence search instead of approx_max_k")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -56,7 +58,8 @@ def main(argv=None) -> int:
     from wildcat_slam_tpu.odometry.pipeline import LidarOdometry
     from wildcat_slam_tpu.utils.profiling import StageTimer, trace
 
-    cfg = WildcatConfig(imu_rate=args.imu_rate, debug_residuals=args.residual_hist)
+    cfg = WildcatConfig(imu_rate=args.imu_rate, debug_residuals=args.residual_hist,
+                        match_knn_approx=not args.exact_knn)
     lo = LidarOdometry(cfg, collect_clouds=args.cloud_out is not None,
                        use_native=args.native)
     timer = StageTimer()

@@ -65,6 +65,9 @@ class WildcatConfig:
     match_angular_dist: float = 5.0 * math.pi / 180.0
     match_surfel_dist: float = 0.1
     match_knn: int = 10
+    # TPU partial-reduce top-k (lax.approx_max_k, recall 0.95) for the KNN; set
+    # False for exact lax.top_k when debugging correspondence parity
+    match_knn_approx: bool = True
     match_time_diff: float = 0.06
 
     # ----- TPU static capacities (no reference analog; sized from the data regime:

@@ -134,12 +134,14 @@ def process_sweep(
             center_dist=cfg.match_center_dist, angular_dist=cfg.match_angular_dist,
             surfel_dist=cfg.match_surfel_dist, time_diff=cfg.match_time_diff,
             k=cfg.match_knn, max_pairs=cfg.max_correspondences, self_match=True,
+            approx=cfg.match_knn_approx,
         )
         iq_f, it_f, pv_f = match_surfels(
             c_sld, n_sld, sld.t, sld.valid, c_fix, n_fix, fix.t, fix.valid,
             center_dist=cfg.match_center_dist, angular_dist=cfg.match_angular_dist,
             surfel_dist=cfg.match_surfel_dist, time_diff=cfg.match_time_diff,
             k=cfg.match_knn, max_pairs=cfg.max_correspondences, self_match=False,
+            approx=cfg.match_knn_approx,
         )
 
         # 6. factors (cc:543-545)
