@@ -36,7 +36,9 @@ struct Feeder {
 
   bool keep(const double p[3]) const {
     const double r2 = p[0] * p[0] + p[1] * p[1] + p[2] * p[2];
-    if (r2 < min_range2 || r2 > max_range2) return false;
+    // written as accept-conditions so NaN returns (which compare false) are
+    // dropped — matching the NumPy path, where NaN fails the keep mask
+    if (!(r2 >= min_range2 && r2 <= max_range2)) return false;
     const bool in_box = p[0] >= bb_min[0] && p[0] <= bb_max[0] &&
                         p[1] >= bb_min[1] && p[1] <= bb_max[1] &&
                         p[2] >= bb_min[2] && p[2] <= bb_max[2];

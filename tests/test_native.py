@@ -136,3 +136,33 @@ class TestNativePipeline:
             # the native path feeds f32 points (numpy feeds f64->f32 at the
             # device boundary); identical up to that rounding
             np.testing.assert_allclose(p1, p2, atol=2e-4)
+
+
+class TestNanPointFiltering:
+    def test_nan_and_inf_points_dropped_on_both_paths(self):
+        # real lidars emit NaN returns for no-echo beams; both the NumPy and the
+        # C++ feeder must drop them (NaN compares false against every bound, so
+        # the filters are written as accept-conditions)
+        from wildcat_slam_tpu.odometry.pipeline import _NumpyPointBuffer
+
+        cfg = _cfg()
+        rng = np.random.default_rng(0)
+        n = 500
+        pts = rng.uniform(-5, 5, (n, 3))
+        pts[::50] = np.nan
+        pts[1::50] = np.inf
+        pts[2::50] = -np.inf
+        times = np.sort(rng.uniform(0, 0.1, n))
+
+        py = _NumpyPointBuffer(cfg)
+        n_py = py.add_points(times, pts.copy())
+        assert np.all(np.isfinite(py.xyz))
+
+        if not native.available():
+            pytest.skip("native library not built")
+        nat = _feeder(cfg)
+        n_nat = nat.add_points(times, pts.copy())
+        assert n_nat == n_py
+        tn, xn = nat.dump()
+        np.testing.assert_allclose(np.asarray(tn), py.t, atol=0)
+        np.testing.assert_allclose(np.asarray(xn), py.xyz, rtol=0, atol=1e-6)

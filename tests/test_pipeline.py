@@ -176,3 +176,47 @@ class TestOuterIterations:
         assert lo.sweep_id >= 2
         err = ate_rmse(lo.trajectory, lambda t: seq.gt_pose(t)[0], align=False)
         assert err < 0.02
+
+
+class TestImuStreamRobustness:
+    def test_imu_gap_is_bridged(self):
+        """A 0.25 s sensor dropout mid-sequence: the resampler linearly
+        interpolates across the gap (imu_resampler.h:23-46 does the same) and
+        the pipeline must keep producing finite, reasonable poses."""
+        seq = SyntheticSequence(duration=1.6, points_per_scan=4000, room_half=4.0, seed=0)
+        imu = [(t, a, g) for (t, a, g) in seq.imu if not (0.62 < t < 0.87)]
+        lo = LidarOdometry(_small_cfg())
+        it = iter(imu)
+        pending = next(it, None)
+        for ts, pl in seq.scans:
+            while pending is not None and pending[0] <= ts[-1] + 0.01:
+                lo.add_imu(*pending)
+                pending = next(it, None)
+            lo.add_scan(ts, pl)
+        assert lo.sweep_id >= 3
+        err = ate_rmse(lo.trajectory, lambda t: seq.gt_pose(t)[0], align=False)
+        assert np.isfinite(err) and err < 0.05  # degraded but sane
+
+    def test_duplicate_and_jittered_imu_stamps(self):
+        """Duplicate timestamps and +-1 ms jitter (common in real bags) must
+        not corrupt the resampled grid."""
+        rng = np.random.default_rng(3)
+        seq = SyntheticSequence(duration=1.2, points_per_scan=4000, room_half=4.0, seed=1)
+        imu = []
+        for (t, a, g) in seq.imu:
+            tj = t + rng.uniform(-1e-3, 1e-3)
+            imu.append((tj, a, g))
+            if rng.random() < 0.02:
+                imu.append((tj, a, g))  # exact duplicate
+        imu.sort(key=lambda e: e[0])
+        lo = LidarOdometry(_small_cfg())
+        it = iter(imu)
+        pending = next(it, None)
+        for ts, pl in seq.scans:
+            while pending is not None and pending[0] <= ts[-1] + 0.01:
+                lo.add_imu(*pending)
+                pending = next(it, None)
+            lo.add_scan(ts, pl)
+        assert lo.sweep_id >= 2
+        err = ate_rmse(lo.trajectory, lambda t: seq.gt_pose(t)[0], align=False)
+        assert np.isfinite(err) and err < 0.05
