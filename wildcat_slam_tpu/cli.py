@@ -46,6 +46,10 @@ def main(argv=None) -> int:
                     help="print post-solve residual histograms per sweep")
     ap.add_argument("--exact-knn", action="store_true",
                     help="exact top-k correspondence search instead of approx_max_k")
+    ap.add_argument("--checkpoint-out", default=None, metavar="NPZ",
+                    help="save full odometry state at exit (resume with --resume)")
+    ap.add_argument("--resume", default=None, metavar="NPZ",
+                    help="resume from a --checkpoint-out file (its config wins)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -58,10 +62,21 @@ def main(argv=None) -> int:
     from wildcat_slam_tpu.odometry.pipeline import LidarOdometry
     from wildcat_slam_tpu.utils.profiling import StageTimer, trace
 
-    cfg = WildcatConfig(imu_rate=args.imu_rate, debug_residuals=args.residual_hist,
-                        match_knn_approx=not args.exact_knn)
-    lo = LidarOdometry(cfg, collect_clouds=args.cloud_out is not None,
-                       use_native=args.native)
+    if args.resume:
+        from wildcat_slam_tpu.odometry import checkpoint
+
+        if not os.path.exists(args.resume):
+            ap.error(f"--resume: no such file: {args.resume}")
+        if args.native or args.cloud_out or args.exact_knn:
+            print("warning: --native/--cloud-out/--exact-knn are ignored with "
+                  "--resume (the checkpoint's config wins)", file=sys.stderr)
+        lo = checkpoint.load(args.resume)
+        cfg = lo.cfg
+    else:
+        cfg = WildcatConfig(imu_rate=args.imu_rate, debug_residuals=args.residual_hist,
+                            match_knn_approx=not args.exact_knn)
+        lo = LidarOdometry(cfg, collect_clouds=args.cloud_out is not None,
+                           use_native=args.native)
     timer = StageTimer()
 
     def events():
@@ -90,6 +105,8 @@ def main(argv=None) -> int:
                 ap.error(f"--dataset: no such directory: {args.dataset}")
             yield from Dataset(args.dataset)
 
+    sweeps0 = lo.sweep_id  # nonzero when resuming; counters below are per-run
+
     def run():
         t0 = time.perf_counter()
         for ev in events():
@@ -115,7 +132,7 @@ def main(argv=None) -> int:
                         f"cost {float(st['initial_cost']):.3f}->{float(st['final_cost']):.3f}",
                         file=sys.stderr,
                     )
-            if args.max_sweeps and lo.sweep_id >= args.max_sweeps:
+            if args.max_sweeps and lo.sweep_id - sweeps0 >= args.max_sweeps:
                 break
         return time.perf_counter() - t0
 
@@ -125,9 +142,16 @@ def main(argv=None) -> int:
     else:
         elapsed = run()
 
-    n = lo.sweep_id
+    n = lo.sweep_id - sweeps0
     print(f"{n} sweeps in {elapsed:.2f}s "
-          f"({cfg.sweep_duration * n / elapsed:.2f}x real-time incl. compile)", file=sys.stderr)
+          f"({cfg.sweep_duration * n / max(elapsed, 1e-9):.2f}x real-time incl. compile)",
+          file=sys.stderr)
+
+    if args.checkpoint_out:
+        from wildcat_slam_tpu.odometry import checkpoint
+
+        checkpoint.save(args.checkpoint_out, lo)
+        print(f"state checkpoint -> {args.checkpoint_out}", file=sys.stderr)
     if args.verbose:
         print(timer.report(), file=sys.stderr)
 
