@@ -110,6 +110,48 @@ class TestInputValidation:
         with pytest.raises(ValueError, match="time order"):
             lo.add_scan(np.array([0.9, 1.2]), np.full((2, 3), 5.0))
 
+    def test_out_of_order_imu_rejected(self):
+        # a silent negative lerp factor in the resampler would extrapolate
+        # garbage; the pipeline must reject disordered IMU like it rejects
+        # disordered scans
+        lo = LidarOdometry(_small_cfg())
+        lo.add_imu(1.0, [0, 0, 9.81], [0, 0, 0])
+        lo.add_imu(1.005, [0, 0, 9.81], [0, 0, 0])
+        with pytest.raises(ValueError, match="time-ordered"):
+            lo.add_imu(0.99, [0, 0, 9.81], [0, 0, 0])
+        # equal timestamps are tolerated (duplicate messages happen in bags)
+        lo.add_imu(1.005, [0, 0, 9.81], [0, 0, 0])
+
+    def test_out_of_order_imu_rejected_by_resampler(self):
+        from wildcat_slam_tpu.odometry.imu import ImuResampler
+        rs = ImuResampler(200.0)
+        rs.add(1.0, np.zeros(3), np.zeros(3))
+        with pytest.raises(ValueError, match="time-ordered"):
+            rs.add(0.99, np.zeros(3), np.zeros(3))
+
+
+class TestResidualSnapshots:
+    def test_pre_and_post_solve_residuals(self):
+        # the reference prints residual histograms before AND after each solve
+        # (lidar_odometry.cc:547-549,568-571); both snapshots must be captured
+        # and the solve must not increase the robust surfel residual mass
+        seq = SyntheticSequence(duration=1.6, points_per_scan=4000, room_half=4.0, seed=7)
+        cfg = _small_cfg(debug_residuals=True)
+        lo = _run(seq, cfg)
+        assert lo.sweep_id >= 3
+        assert len(lo.residuals) == lo.sweep_id
+        for r in lo.residuals:
+            assert {"surfel", "imu", "surfel_pre", "imu_pre"} <= set(r)
+            assert r["surfel_pre"].shape == r["surfel"].shape
+            assert r["imu_pre"].shape == r["imu"].shape
+        # past the bootstrap sweeps the IMU prediction already has error that
+        # the solve reduces; compare robust (Cauchy) surfel costs
+        a2 = cfg.cauchy_loss_scale**2
+        rob = lambda x: float(np.sum(a2 * np.log1p(x * x / a2)))
+        post = sum(rob(r["surfel"]) for r in lo.residuals[1:])
+        pre = sum(rob(r["surfel_pre"]) for r in lo.residuals[1:])
+        assert post <= pre + 1e-6
+
 
 class TestOutlierRobustness:
     def test_clutter_does_not_break_tracking(self):

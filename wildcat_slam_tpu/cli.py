@@ -43,7 +43,7 @@ def main(argv=None) -> int:
                     help="use the C++ host feeder (native/feeder.cc)")
     ap.add_argument("--max-sweeps", type=int, default=None)
     ap.add_argument("--residual-hist", action="store_true",
-                    help="print post-solve residual histograms per sweep")
+                    help="print pre/post-solve residual histograms per sweep")
     ap.add_argument("--exact-knn", action="store_true",
                     help="exact top-k correspondence search instead of approx_max_k")
     ap.add_argument("--checkpoint-out", default=None, metavar="NPZ",
@@ -67,10 +67,11 @@ def main(argv=None) -> int:
 
         if not os.path.exists(args.resume):
             ap.error(f"--resume: no such file: {args.resume}")
-        if args.native or args.cloud_out or args.exact_knn:
-            print("warning: --native/--cloud-out/--exact-knn are ignored with "
+        if args.cloud_out or args.exact_knn:
+            print("warning: --cloud-out/--exact-knn are ignored with "
                   "--resume (the checkpoint's config wins)", file=sys.stderr)
-        lo = checkpoint.load(args.resume)
+        # feeder kind follows the checkpoint unless --native is passed explicitly
+        lo = checkpoint.load(args.resume, use_native=True if args.native else None)
         cfg = lo.cfg
     else:
         cfg = WildcatConfig(imu_rate=args.imu_rate, debug_residuals=args.residual_hist,
@@ -120,8 +121,13 @@ def main(argv=None) -> int:
                 if args.residual_hist and lo.sweep_id > before and lo.residuals:
                     from wildcat_slam_tpu.utils.histogram import residual_report
                     r = lo.residuals[-1]
-                    print(residual_report("surfel", r["surfel"]), file=sys.stderr)
-                    print(residual_report("imu-gyro", np.linalg.norm(r["imu"][:, 0:3], axis=1)),
+                    print(residual_report("surfel pre ", r["surfel_pre"]), file=sys.stderr)
+                    print(residual_report("surfel post", r["surfel"]), file=sys.stderr)
+                    print(residual_report("imu-gyro pre ",
+                                          np.linalg.norm(r["imu_pre"][:, 0:3], axis=1)),
+                          file=sys.stderr)
+                    print(residual_report("imu-gyro post",
+                                          np.linalg.norm(r["imu"][:, 0:3], axis=1)),
                           file=sys.stderr)
                 if args.verbose and lo.sweep_id > before:
                     st = lo.stats[-1]

@@ -96,17 +96,3 @@ class Dataset:
 def from_synthetic(seq, dirname: str) -> None:
     """Materialize a SyntheticSequence as an on-disk dataset."""
     save_sequence(dirname, seq.imu, seq.scans)
-
-
-def convert_rosbag(bag_path: str, dirname: str, imu_topic="/alphasense/imu", lidar_topic="/hesai/pandar"):
-    """Convert a ROS1 bag (Hilti layout: hilti_ros::Point with per-point double
-    time + ring, common.h:12-28) into a sequence directory. Requires the
-    optional ``rosbags`` package."""
-    try:
-        from rosbags.highlevel import AnyReader  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "rosbag conversion needs the optional 'rosbags' package; convert "
-            "offline elsewhere or use the .wcs/imu.npz layout directly"
-        ) from e
-    raise NotImplementedError("wire up once a rosbags-enabled environment is available")

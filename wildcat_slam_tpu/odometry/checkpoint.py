@@ -18,7 +18,7 @@ from wildcat_slam_tpu.odometry.pipeline import LidarOdometry
 
 
 _HOST_FIELDS = ("synced", "initialized", "epoch", "sample_times", "imu_front_time",
-                "fix_first", "sweep_id")
+                "fix_first", "sweep_id", "_last_raw_imu_t")
 
 
 def save(path: str, lo: LidarOdometry) -> None:
@@ -32,6 +32,7 @@ def save(path: str, lo: LidarOdometry) -> None:
             host=host,
             config=lo.cfg.to_json(),
             trajectory_len=len(lo.trajectory),
+            use_native=bool(getattr(lo, "use_native", False)),
         )),
         **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)},
         traj_t=np.asarray([e[0] for e in lo.trajectory]),
@@ -46,20 +47,25 @@ def save(path: str, lo: LidarOdometry) -> None:
     )
 
 
-def load(path: str) -> LidarOdometry:
+def load(path: str, use_native: bool = None) -> LidarOdometry:
+    """Restore a LidarOdometry from a checkpoint. The host feeder kind
+    (numpy vs native C++) defaults to whatever wrote the checkpoint; pass
+    ``use_native`` to override."""
     from wildcat_slam_tpu.config import WildcatConfig
 
     d = np.load(path, allow_pickle=False)
     meta = json.loads(str(d["__meta__"]))
     cfg = WildcatConfig.from_json(meta["config"])
-    lo = LidarOdometry(cfg)
+    if use_native is None:
+        use_native = bool(meta.get("use_native", False))
+    lo = LidarOdometry(cfg, use_native=use_native)
 
     template = jax.tree_util.tree_structure(lo.state)
     leaves = [jnp.asarray(d[f"leaf_{i}"]) for i in range(meta["n_leaves"])]
     lo.state = jax.tree_util.tree_unflatten(template, leaves)
 
     for f in _HOST_FIELDS:
-        setattr(lo, f, meta["host"][f])
+        setattr(lo, f, meta["host"].get(f, getattr(lo, f)))
     lo.trajectory = [
         (float(t), p, q) for t, p, q in zip(d["traj_t"], d["traj_pos"], d["traj_rot"])
     ]

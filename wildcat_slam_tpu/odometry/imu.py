@@ -46,7 +46,15 @@ class ImuResampler:
         self._prev = None         # last raw sample (t, acc, gyr)
 
     def add(self, t: float, acc, gyr):
-        """Feed one raw sample; returns list of (t, acc, gyr) resampled outputs."""
+        """Feed one raw sample; returns list of (t, acc, gyr) resampled outputs.
+
+        Raises on out-of-order raw samples (t earlier than the previous raw
+        sample): a silent negative lerp factor would extrapolate garbage onto
+        the grid. Mirrors the scan-path ordering check (pipeline.add_scan)."""
+        if self._prev is not None and t < self._prev[0]:
+            raise ValueError(
+                f"IMU sample at {t:.6f} arrived before the previous raw sample "
+                f"{self._prev[0]:.6f}; IMU messages must be time-ordered")
         acc = np.asarray(acc, np.float64)
         gyr = np.asarray(gyr, np.float64)
         out = []

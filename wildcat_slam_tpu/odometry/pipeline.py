@@ -154,6 +154,14 @@ def process_sweep(
 
         # 7. solve (cc:540-562)
         weights = (cfg.weight_gyr, cfg.weight_acc, cfg.weight_bg, cfg.weight_ba)
+        if cfg.debug_residuals:
+            # pre-solve snapshot (reference prints residual histograms before
+            # AND after each solve, lidar_odometry.cc:547-549,568-571)
+            from wildcat_slam_tpu.odometry.solver import residual_snapshot
+            stats_res_pre = residual_snapshot(
+                sample, sfac, ifac, weights, cfg.imu_dt, sample.grav)
+        else:
+            stats_res_pre = None
         sample, sstats = solve_window(
             sample, sfac, ifac, weights, cfg.imu_dt, sample.grav, fix_first_pos,
             cauchy_scale=cfg.cauchy_loss_scale, max_iterations=cfg.inner_iter_num_max,
@@ -236,6 +244,7 @@ def process_sweep(
     outputs = dict(packed=packed, pts_world=pts_world_final, pts_valid=pts_valid)
     if stats_res is not None:
         outputs["residuals"] = stats_res
+        outputs["residuals_pre"] = stats_res_pre
     return state.replace(sample=sample2, imu=imu2, sld=sld, fix=fix), outputs
 
 
@@ -325,7 +334,9 @@ class LidarOdometry:
         else:
             self.resampler = imu_mod.ImuResampler(cfg.imu_rate)
             self.points = _NumpyPointBuffer(cfg)
+        self.use_native = use_native
         self.imu_queue: List[tuple] = []   # resampled (t, acc, gyr), f64
+        self._last_raw_imu_t: Optional[float] = None
         self.synced = False
         self.initialized = False
         self.epoch: Optional[float] = None
@@ -336,7 +347,7 @@ class LidarOdometry:
         self._trajectory: List[tuple] = []
         self._stats: List[dict] = []
         self._pending: List[tuple] = []  # (back_t, device outputs) not yet fetched
-        self.residuals: List[dict] = []  # post-solve residual snapshots (debug)
+        self.residuals: List[dict] = []  # pre/post-solve residual snapshots (debug)
         self.clouds: List[np.ndarray] = [] if collect_clouds else None
         self._stride = int(round(cfg.sample_dt * cfg.imu_rate))
 
@@ -372,6 +383,13 @@ class LidarOdometry:
 
     # ------------------------------------------------------------------ IMU
     def add_imu(self, t: float, acc, gyr):
+        """One raw IMU message. Raises on out-of-order timestamps (covers both
+        the numpy and native resamplers; mirrors the add_scan ordering check)."""
+        if self._last_raw_imu_t is not None and t < self._last_raw_imu_t:
+            raise ValueError(
+                f"IMU sample at {t:.6f} arrived before the previous raw sample "
+                f"{self._last_raw_imu_t:.6f}; IMU messages must be time-ordered")
+        self._last_raw_imu_t = float(t)
         for tt, aa, gg in self.resampler.add(t, acc, gyr):
             self.imu_queue.append((tt, aa, gg))
 
@@ -526,10 +544,14 @@ class LidarOdometry:
         self._pending.append((back, out["packed"]))
         if "residuals" in out:
             rs, rsv, ri, riv = jax.device_get(out["residuals"])
-            self.residuals.append(dict(
+            entry = dict(
                 surfel=np.asarray(rs)[np.asarray(rsv)],
                 imu=np.asarray(ri)[np.asarray(riv)],
-            ))
+            )
+            rs, rsv, ri, riv = jax.device_get(out["residuals_pre"])
+            entry["surfel_pre"] = np.asarray(rs)[np.asarray(rsv)]
+            entry["imu_pre"] = np.asarray(ri)[np.asarray(riv)]
+            self.residuals.append(entry)
         if self.clouds is not None:
             pts_w, pv = jax.device_get((out["pts_world"], out["pts_valid"]))
             self.clouds.append(np.asarray(pts_w)[np.asarray(pv)])

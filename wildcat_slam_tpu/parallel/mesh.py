@@ -51,7 +51,7 @@ def batched_window_state(cfg: WildcatConfig, batch: int, dtype, mesh: Mesh) -> p
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), state)
 
 
-def _per_shard_loop(inner, n_extra_args):
+def _per_shard_loop(inner):
     """Wrap an unbatched window function into one that processes its local
     (leading-axis) chunk with a static python loop — real cond/while control
     flow per window, unlike vmap (see module docstring)."""
@@ -81,9 +81,10 @@ def make_batched_step(cfg: WildcatConfig, mesh: Mesh):
     shard = NamedSharding(mesh, P(axis))
     raw = pipe.process_sweep.__wrapped__  # bind the unjitted fn now
     inner = lambda st, *a: raw(st, *a, cfg)
-    local = _per_shard_loop(inner, 12)
+    local = _per_shard_loop(inner)
 
-    # check_vma off: the per-window program creates device-invariant literal
+    # check_vma off (re-verified round 2: vma-typed scan carries still trip it):
+    # the per-window program creates device-invariant literal
     # carries (e.g. the matcher's fori_loop init) that shard_map's varying-axis
     # analysis rejects; there is no cross-device communication to validate
     step = jax.shard_map(local, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
