@@ -44,7 +44,7 @@ def run_e2e(ablate: str, duration: float) -> float:
     if ablate in ("match", "extract"):
         def fake_match(cq, nq, tq, vq, ct, nt, tt, vt, max_pairs=8192, **kw):
             z = jnp.zeros((max_pairs,), jnp.int32)
-            return z, z, jnp.zeros((max_pairs,), bool)
+            return z, z, jnp.zeros((max_pairs,), bool), jnp.asarray(0, jnp.int32)
 
         pl.match_surfels = fake_match
     if ablate == "extract":
@@ -54,7 +54,7 @@ def run_e2e(ablate: str, duration: float) -> float:
             return dict(
                 t=jnp.zeros(n, d), center=jnp.zeros((n, 3), d), cov=jnp.zeros((n, 3, 3), d),
                 norm=jnp.zeros((n, 3), d), resolution=jnp.zeros(n, d), std=jnp.zeros(n, d),
-                valid=jnp.zeros(n, bool),
+                valid=jnp.zeros(n, bool), n_dropped=jnp.asarray(0, jnp.int32),
             )
 
         pl.extract_surfels = fake_extract

@@ -157,8 +157,16 @@ long wc_feeder_drop_before(void* h, double t_cut) {
   return dropped;
 }
 
+// Number of buffered points with time < t_end (non-destructive). Callers use
+// this before pop_sweep to detect overfull sweeps and size a temporary buffer
+// for host-side decimation instead of silently losing the tail.
+long wc_feeder_count_until(void* h, double t_end) {
+  auto* f = static_cast<Feeder*>(h);
+  return std::lower_bound(f->t.begin(), f->t.end(), t_end) - f->t.begin();
+}
+
 // Pop points with time < t_end into caller arrays (cap max_n; excess beyond
-// max_n is discarded, matching the Python feeder's capacity truncation).
+// max_n is discarded — callers are expected to size via count_until first).
 // out_times may receive times relative to `epoch` for direct f32 device feed.
 long wc_feeder_pop_sweep(void* h, double t_end, double epoch, long max_n,
                          float* out_times, float* out_xyz) {

@@ -63,7 +63,7 @@ def run_module(cq, nq, tq, ct, nt, tt, self_match, q_cap=256, t_cap=256):
 
     vq = jnp.arange(q_cap) < len(cq)
     vt = jnp.arange(t_cap) < len(ct)
-    iq, it, valid = match_surfels(
+    iq, it, valid, _nd = match_surfels(
         pad(cq, q_cap, 3), pad(nq, q_cap, 3), pad(tq, q_cap),
         jnp.asarray(vq),
         pad(ct, t_cap, 3), pad(nt, t_cap, 3), pad(tt, t_cap),

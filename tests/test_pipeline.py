@@ -153,6 +153,56 @@ class TestResidualSnapshots:
         assert post <= pre + 1e-6
 
 
+class TestCapacityOverflow:
+    """The reference processes unbounded input (lidar_odometry.cc:134-141);
+    here static capacities bound every array, so overflow must be counted,
+    mitigated (voxel decimation), and surfaced — never silent."""
+
+    def test_overfull_sweep_decimated_and_counted(self):
+        seq = SyntheticSequence(duration=1.6, points_per_scan=4000, room_half=4.0, seed=0)
+        # a sweep carries ~2x this capacity -> every sweep overflows
+        cfg = _small_cfg(max_points_per_sweep=8192)
+        with pytest.warns(UserWarning, match="max_points_per_sweep"):
+            lo = _run(seq, cfg)
+        assert lo.sweep_id >= 3
+        st = lo.stats
+        assert any(s["n_points_dropped"] > 0 for s in st)
+        assert all(s["n_points_fed"] <= 8192 for s in st)
+        assert all(s["n_points_in"] == s["n_points_fed"] + s["n_points_dropped"] for s in st)
+        # decimation keeps the sweep spatially uniform: accuracy degrades
+        # boundedly, not catastrophically (full-capacity run is ~mm)
+        err = ate_rmse(lo.trajectory, lambda t: seq.gt_pose(t)[0], align=False)
+        assert err < 0.05, f"ATE with decimated sweeps {err}"
+
+    def test_overflow_truncate_policy(self):
+        seq = SyntheticSequence(duration=1.6, points_per_scan=4000, room_half=4.0, seed=1)
+        cfg = _small_cfg(max_points_per_sweep=8192, overflow_decimate=False)
+        with pytest.warns(UserWarning, match="truncated"):
+            lo = _run(seq, cfg)
+        assert any(s["n_points_dropped"] > 0 for s in lo.stats)
+        assert all(s["n_points_fed"] <= 8192 for s in lo.stats)
+
+    def test_surfel_and_pair_overflow_counters(self):
+        seq = SyntheticSequence(duration=1.6, points_per_scan=4000, room_half=4.0, seed=2)
+        cfg = _small_cfg(max_surfels_per_sweep=64, max_correspondences=128)
+        lo = _run(seq, cfg)
+        st = lo.stats
+        # real sweeps produce hundreds of surfels -> the device-side counters
+        # must report the capacity loss
+        assert any(s["n_surfels_dropped"] > 0 for s in st), st
+        assert all(s["n_surfels_dropped"] >= 0 and s["n_pairs_dropped"] >= 0 for s in st)
+        err = ate_rmse(lo.trajectory, lambda t: seq.gt_pose(t)[0], align=False)
+        assert np.isfinite(err)
+
+    def test_no_overflow_counters_stay_zero(self):
+        seq = SyntheticSequence(duration=1.1, points_per_scan=3000, room_half=4.0, seed=3)
+        lo = _run(seq, _small_cfg())
+        for s in lo.stats:
+            assert s["n_points_dropped"] == 0
+            assert s["n_surfels_dropped"] == 0
+            assert s["n_pairs_dropped"] == 0
+
+
 class TestOutlierRobustness:
     def test_clutter_does_not_break_tracking(self):
         # 15% of returns are floating clutter: the Cauchy loss (and the plane

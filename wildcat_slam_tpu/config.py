@@ -75,6 +75,14 @@ class WildcatConfig:
     # capacities must absorb one extra sweep because the window shrink runs
     # AFTER the new sweep is appended, mirroring the reference's order) -----
     max_points_per_sweep: int = 65536
+    # Overfull-sweep policy: when a sweep exceeds max_points_per_sweep, keep the
+    # first point per voxel on a geometrically coarsening grid until it fits
+    # (spatially uniform; the reference's DownSamplingVoxel,
+    # surfel_extraction.cc:228-302, documents the same intent). With the policy
+    # off, the sweep tail beyond capacity is truncated. Either way the dropped
+    # count is surfaced per sweep in LidarOdometry.stats (n_points_dropped).
+    overflow_decimate: bool = True
+    decimate_voxel_size: float = 0.02  # starting grid; coarsened x1.5 until fit
     max_sample_states: int = 96
     max_imu_states: int = 1536
     max_surfels_per_sweep: int = 1024

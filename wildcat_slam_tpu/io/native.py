@@ -52,6 +52,8 @@ def _load() -> ctypes.CDLL:
     lib.wc_feeder_back_time.argtypes = [vp]
     lib.wc_feeder_drop_before.restype = lg
     lib.wc_feeder_drop_before.argtypes = [vp, d]
+    lib.wc_feeder_count_until.restype = lg
+    lib.wc_feeder_count_until.argtypes = [vp, d]
     lib.wc_feeder_pop_sweep.restype = lg
     lib.wc_feeder_pop_sweep.argtypes = [vp, d, d, lg, fp, fp]
     lib.wc_feeder_peek.restype = lg
@@ -130,6 +132,10 @@ class NativeFeeder:
 
     def drop_before(self, t_cut: float) -> int:
         return self._lib.wc_feeder_drop_before(self._h, float(t_cut))
+
+    def count_until(self, t_end: float) -> int:
+        """Number of buffered points with time < t_end (non-destructive)."""
+        return self._lib.wc_feeder_count_until(self._h, float(t_end))
 
     def pop_sweep(self, t_end: float, epoch: float, out_times: np.ndarray, out_xyz: np.ndarray) -> int:
         """Pop points with t < t_end into the padded f32 arrays (relative to

@@ -92,10 +92,13 @@ def match_surfels(
     against targets. For ``self_match=True`` query and target must be the same
     arrays (the sliding-window self-match, lidar_odometry.cc:532-534).
 
-    Returns (iq, it, valid): (max_pairs,) index arrays into query/target with a
-    validity mask; pairs are ordered so query time < target time is NOT implied —
-    instead (iq, it) preserve roles and ``swap`` is applied by the caller via
-    times. (The emitted pair always has t[s1] < t[s2] when consumed by factors.)
+    Returns (iq, it, valid, n_dropped): (max_pairs,) index arrays into
+    query/target with a validity mask, plus a scalar int32 count of accepted
+    pairs that did NOT fit into max_pairs (overflow telemetry — the reference's
+    pair deque is unbounded, so capacity loss must never be silent). Pairs are
+    ordered so query time < target time is NOT implied — instead (iq, it)
+    preserve roles and ``swap`` is applied by the caller via times. (The
+    emitted pair always has t[s1] < t[s2] when consumed by factors.)
     """
     q_cap = cq.shape[0]
 
@@ -161,8 +164,10 @@ def match_surfels(
         emit = matched
 
     # compact to max_pairs: valid pairs first, stable
+    n_emit = jnp.sum(emit.astype(jnp.int32))
+    n_dropped = jnp.maximum(0, n_emit - max_pairs)
     order = jnp.argsort(~emit, stable=True)[:max_pairs]
     iq = qidx[order]
     it = jnp.where(emit[order], partner[order], 0).astype(jnp.int32)
     valid = emit[order]
-    return iq, it, valid
+    return iq, it, valid, n_dropped

@@ -129,14 +129,14 @@ def process_sweep(
         # 5. correspondences (cc:530-538)
         c_sld, n_sld = sld.center_world(), sld.norm_world()
         c_fix, n_fix = fix.center_world(), fix.norm_world()
-        iq_s, it_s, pv_s = match_surfels(
+        iq_s, it_s, pv_s, drop_s = match_surfels(
             c_sld, n_sld, sld.t, sld.valid, c_sld, n_sld, sld.t, sld.valid,
             center_dist=cfg.match_center_dist, angular_dist=cfg.match_angular_dist,
             surfel_dist=cfg.match_surfel_dist, time_diff=cfg.match_time_diff,
             k=cfg.match_knn, max_pairs=cfg.max_correspondences, self_match=True,
             approx=cfg.match_knn_approx,
         )
-        iq_f, it_f, pv_f = match_surfels(
+        iq_f, it_f, pv_f, drop_f = match_surfels(
             c_sld, n_sld, sld.t, sld.valid, c_fix, n_fix, fix.t, fix.valid,
             center_dist=cfg.match_center_dist, angular_dist=cfg.match_angular_dist,
             surfel_dist=cfg.match_surfel_dist, time_diff=cfg.match_time_diff,
@@ -182,6 +182,10 @@ def process_sweep(
             n_new_surfels=new_surfels.count,
             n_pairs_sld=jnp.sum(pv_s.astype(jnp.int32)),
             n_pairs_fix=jnp.sum(pv_f.astype(jnp.int32)),
+            # capacity-overflow telemetry (the reference is unbounded; any
+            # loss to the static capacities must be visible, not silent)
+            n_surfels_dropped=sweep_surf["n_dropped"],
+            n_pairs_dropped=drop_s + drop_f,
         )
 
         # 8. post-solve updates (cc:564-566)
@@ -240,12 +244,34 @@ def process_sweep(
             stats["n_pairs_fix"].astype(jnp.float32),                 # 13
         ]),
         pred_pos.astype(jnp.float32),                                 # 14:17
+        jnp.stack([
+            stats["n_surfels_dropped"].astype(jnp.float32),           # 17
+            stats["n_pairs_dropped"].astype(jnp.float32),             # 18
+        ]),
     ])
     outputs = dict(packed=packed, pts_world=pts_world_final, pts_valid=pts_valid)
     if stats_res is not None:
         outputs["residuals"] = stats_res
         outputs["residuals_pre"] = stats_res_pre
     return state.replace(sample=sample2, imu=imu2, sld=sld, fix=fix), outputs
+
+
+def _voxel_decimate_indices(xyz: np.ndarray, cap: int, size0: float) -> np.ndarray:
+    """Spatially uniform decimation of an overfull sweep: keep the first point
+    per voxel, coarsening the grid geometrically until the kept count fits the
+    capacity. (The reference's DownSamplingVoxel, surfel_extraction.cc:228-302,
+    documents the same intent — one representative per voxel.) Returns sorted
+    indices into xyz, so the time order of the kept points is preserved."""
+    size = float(size0)
+    first = np.arange(min(len(xyz), cap))
+    for _ in range(32):
+        cell = np.clip(np.floor(xyz / size), -(2**20), 2**20 - 1).astype(np.int64) + 2**20
+        key = (cell[:, 0] << 42) | (cell[:, 1] << 21) | cell[:, 2]
+        _, first = np.unique(key, return_index=True)
+        if len(first) <= cap:
+            return np.sort(first)
+        size *= 1.5
+    return np.sort(first)[:cap]
 
 
 class _NumpyPointBuffer:
@@ -287,6 +313,10 @@ class _NumpyPointBuffer:
         n = int(np.searchsorted(self.t, t_cut, side="left"))
         self.t, self.xyz = self.t[n:], self.xyz[n:]
         return n
+
+    def count_until(self, t_end: float) -> int:
+        """Number of buffered points with time < t_end (non-destructive)."""
+        return int(np.searchsorted(self.t, t_end, side="left"))
 
     def pop_sweep(self, t_end: float, epoch: float, out_t: np.ndarray, out_xyz: np.ndarray) -> int:
         n = int(np.searchsorted(self.t, t_end, side="left"))
@@ -337,6 +367,7 @@ class LidarOdometry:
         self.use_native = use_native
         self.imu_queue: List[tuple] = []   # resampled (t, acc, gyr), f64
         self._last_raw_imu_t: Optional[float] = None
+        self._warned_overflow = False
         self.synced = False
         self.initialized = False
         self.epoch: Optional[float] = None
@@ -355,8 +386,8 @@ class LidarOdometry:
         if not self._pending:
             return
         pending, self._pending = self._pending, []
-        fetched = jax.device_get([o for _, o in pending])
-        for (back, _), v in zip(pending, fetched):
+        fetched = jax.device_get([o for _, o, _ in pending])
+        for (back, _, host_stats), v in zip(pending, fetched):
             v = np.asarray(v, np.float64)
             self._trajectory.append((back, v[0:3], v[3:7]))
             self._stats.append(dict(
@@ -364,6 +395,8 @@ class LidarOdometry:
                 final_cost=v[10], n_new_surfels=int(v[11]),
                 n_pairs_sld=int(v[12]), n_pairs_fix=int(v[13]),
                 pose_pos_pred=v[14:17],
+                n_surfels_dropped=int(v[17]), n_pairs_dropped=int(v[18]),
+                **host_stats,
             ))
 
     @property
@@ -489,9 +522,38 @@ class LidarOdometry:
             sam_t[i] = tt - self.epoch
 
         # --- sweep points: all buffered points before the new sample back ---
-        p_t = np.zeros((cfg.max_points_per_sweep,), np.float32)
-        p_xyz = np.zeros((cfg.max_points_per_sweep, 3), np.float32)
-        n_pts_cap = self.points.pop_sweep(sample_back_abs, self.epoch, p_t, p_xyz)
+        cap_p = cfg.max_points_per_sweep
+        p_t = np.zeros((cap_p,), np.float32)
+        p_xyz = np.zeros((cap_p, 3), np.float32)
+        n_avail = self.points.count_until(sample_back_abs)
+        n_pts_dropped = 0
+        if n_avail > cap_p:
+            # overfull sweep: pop everything, then decimate (spatially uniform)
+            # or truncate — either way the loss is counted, never silent
+            tmp_t = np.zeros((n_avail,), np.float32)
+            tmp_xyz = np.zeros((n_avail, 3), np.float32)
+            self.points.pop_sweep(sample_back_abs, self.epoch, tmp_t, tmp_xyz)
+            if cfg.overflow_decimate:
+                keep = _voxel_decimate_indices(tmp_xyz, cap_p, cfg.decimate_voxel_size)
+            else:
+                keep = np.arange(cap_p)
+            n_pts_cap = len(keep)
+            p_t[:n_pts_cap] = tmp_t[keep]
+            p_xyz[:n_pts_cap] = tmp_xyz[keep]
+            n_pts_dropped = n_avail - n_pts_cap
+            if not self._warned_overflow:
+                import warnings
+                warnings.warn(
+                    f"sweep {self.sweep_id}: {n_avail} points exceed "
+                    f"max_points_per_sweep={cap_p}; "
+                    + ("voxel-decimated to fit" if cfg.overflow_decimate
+                       else "tail truncated")
+                    + f" ({n_pts_dropped} dropped). Raise the capacity or keep "
+                    "overflow_decimate on; per-sweep counts are in stats"
+                    "['n_points_dropped'].")
+                self._warned_overflow = True
+        else:
+            n_pts_cap = self.points.pop_sweep(sample_back_abs, self.epoch, p_t, p_xyz)
 
         # --- host-side window trim bookkeeping (exact f64 grid) ---
         all_samples = self.sample_times + new_sample_abs
@@ -541,7 +603,9 @@ class LidarOdometry:
         # compute; the packed output's transfer starts immediately (async) and
         # is materialized lazily by the trajectory/stats accessors
         out["packed"].copy_to_host_async()
-        self._pending.append((back, out["packed"]))
+        host_stats = dict(n_points_in=n_avail, n_points_fed=n_pts_cap,
+                          n_points_dropped=n_pts_dropped)
+        self._pending.append((back, out["packed"], host_stats))
         if "residuals" in out:
             rs, rsv, ri, riv = jax.device_get(out["residuals"])
             entry = dict(

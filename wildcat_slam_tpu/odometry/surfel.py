@@ -73,7 +73,11 @@ def extract_surfels(
     """Extract surfels from one undistorted sweep.
 
     Returns a dict of world-frame surfel arrays, each of length
-    ``cfg.max_surfels_per_sweep``: t, center, cov, norm, resolution, std, valid.
+    ``cfg.max_surfels_per_sweep``: t, center, cov, norm, resolution, std, valid —
+    plus a scalar int32 ``n_dropped``: candidates lost to the static capacities
+    (clusters past max_leaves_per_sweep + valid surfels past
+    max_surfels_per_sweep). The reference's vectors are unbounded
+    (surfel_extraction.cc:304-337), so capacity loss must never be silent.
     Surfels are sorted by timestamp (surfel_extraction.cc:334); overflow beyond
     the capacity drops the latest ones.
     """
@@ -171,6 +175,7 @@ def extract_surfels(
 
     # --- temporal clustering within candidate nodes, per level ---
     out_chunks = []
+    n_cluster_dropped = jnp.asarray(0, jnp.int32)
     nc = cfg.max_leaves_per_sweep
     for level in range(n_levels):
         lv = per_level[level]
@@ -182,6 +187,7 @@ def extract_surfels(
         new_cluster = (lv["is_start"] | gap) & cand_s
         # points outside candidate nodes get an out-of-range id -> dropped by segment_sum
         cl_id = jnp.where(cand_s, jnp.cumsum(new_cluster.astype(jnp.int32)) - 1, nc)
+        n_cluster_dropped += jnp.maximum(0, jnp.sum(new_cluster.astype(jnp.int32)) - nc)
 
         w = cand_s.astype(dtype)
         q = lv["q"] * w[:, None]
@@ -235,4 +241,7 @@ def extract_surfels(
     bigt = jnp.asarray(jnp.finfo(dtype).max, dtype)
     order = jnp.argsort(jnp.where(merged["valid"], merged["t"], bigt), stable=True)
     cap = cfg.max_surfels_per_sweep
-    return {k: v[order][:cap] for k, v in merged.items()}
+    n_valid = jnp.sum(merged["valid"].astype(jnp.int32))
+    out = {k: v[order][:cap] for k, v in merged.items()}
+    out["n_dropped"] = n_cluster_dropped + jnp.maximum(0, n_valid - cap)
+    return out
