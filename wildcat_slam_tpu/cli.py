@@ -33,6 +33,18 @@ def main(argv=None) -> int:
     ap.add_argument("--lidar-topic", default=None, help="bag lidar topic (default: any PointCloud2)")
     ap.add_argument("--synthetic", type=float, default=None, metavar="SECONDS",
                     help="run on a generated synthetic sequence instead of a dataset")
+    ap.add_argument("--stream", default=None, metavar="SRC",
+                    help="run LIVE from a framed sensor stream (io/stream.py): "
+                         "'-' = stdin, 'tcp:HOST:PORT', or a FIFO/file path; "
+                         "reports per-sweep latency at exit")
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip the pre-stream jit warmup (stream mode compiles "
+                         "on the first live sweep instead)")
+    ap.add_argument("--snapshot-every", type=int, default=None, metavar="N",
+                    help="incremental export every N sweeps: numbered surfel "
+                         "PLYs next to --surfels-out and a rewritten --traj-out "
+                         "(the live-viewer analog of the reference's per-sweep "
+                         "rviz publishing)")
     ap.add_argument("--imu-rate", type=float, default=200.0)
     ap.add_argument("--traj-out", default=None, help="write trajectory (TUM format)")
     ap.add_argument("--surfels-out", default=None, help="write final sliding-window surfels (PLY)")
@@ -81,7 +93,11 @@ def main(argv=None) -> int:
     timer = StageTimer()
 
     def events():
-        if args.synthetic is not None:
+        if args.stream is not None:
+            from wildcat_slam_tpu.io.stream import open_source, read_stream
+
+            yield from read_stream(open_source(args.stream))
+        elif args.synthetic is not None:
             from wildcat_slam_tpu.io.synthetic import SyntheticSequence
 
             seq = SyntheticSequence(duration=args.synthetic, points_per_scan=6000, room_half=5.0)
@@ -99,14 +115,48 @@ def main(argv=None) -> int:
             yield from read_bag(args.bag, args.imu_topic, args.lidar_topic)
         else:
             if not args.dataset:
-                ap.error("need --dataset, --bag, or --synthetic")
+                ap.error("need --dataset, --bag, --synthetic, or --stream")
             from wildcat_slam_tpu.io.dataset import Dataset
 
             if not os.path.isdir(args.dataset):
                 ap.error(f"--dataset: no such directory: {args.dataset}")
             yield from Dataset(args.dataset)
 
+    if args.stream is not None and not args.no_warmup:
+        # live mode: compile the per-sweep program BEFORE consuming the stream
+        # (first-sweep compile would otherwise back the stream up by ~30 s);
+        # a throwaway pipeline with the same config populates the jit cache
+        t_w = time.perf_counter()
+        from wildcat_slam_tpu.io.synthetic import SyntheticSequence
+
+        warm = LidarOdometry(cfg, use_native=args.native)
+        wseq = SyntheticSequence(duration=1.2, points_per_scan=2000, room_half=5.0)
+        i_w = 0
+        for times, pts in wseq.scans:
+            while i_w < len(wseq.imu) and wseq.imu[i_w][0] <= times[-1] + 0.01:
+                warm.add_imu(*wseq.imu[i_w])
+                i_w += 1
+            warm.add_scan(times, pts)
+            if warm.sweep_id >= 1:
+                break
+        warm.trajectory  # flush
+        del warm
+        print(f"warmup: per-sweep program compiled in {time.perf_counter()-t_w:.1f}s",
+              file=sys.stderr)
+
     sweeps0 = lo.sweep_id  # nonzero when resuming; counters below are per-run
+    latencies = []  # stream mode: scan-receipt -> pose-available, per sweep
+
+    def snapshot():
+        if args.surfels_out:
+            from wildcat_slam_tpu.viz.surfel_export import save_surfels_ply
+
+            base, ext = os.path.splitext(args.surfels_out)
+            save_surfels_ply(f"{base}_{lo.sweep_id:06d}{ext or '.ply'}", lo.state.sld)
+        if args.traj_out:
+            from wildcat_slam_tpu.io.trajectory import save_tum
+
+            save_tum(args.traj_out, lo.trajectory)
 
     def run():
         t0 = time.perf_counter()
@@ -115,9 +165,16 @@ def main(argv=None) -> int:
                 with timer.stage("imu"):
                     lo.add_imu(ev[1], ev[2], ev[3])
             else:
+                t_recv = time.perf_counter()
                 before = lo.sweep_id
                 with timer.stage("scan"):
                     lo.add_scan(ev[1], ev[2])
+                if args.stream is not None and lo.sweep_id > before:
+                    lo.trajectory  # force the deferred fetch: pose is now real
+                    latencies.append(time.perf_counter() - t_recv)
+                if (args.snapshot_every and lo.sweep_id > before
+                        and lo.sweep_id % args.snapshot_every == 0):
+                    snapshot()
                 if args.residual_hist and lo.sweep_id > before and lo.residuals:
                     from wildcat_slam_tpu.utils.histogram import residual_report
                     r = lo.residuals[-1]
@@ -152,6 +209,15 @@ def main(argv=None) -> int:
     print(f"{n} sweeps in {elapsed:.2f}s "
           f"({cfg.sweep_duration * n / max(elapsed, 1e-9):.2f}x real-time incl. compile)",
           file=sys.stderr)
+    if latencies:
+        lat = np.asarray(latencies)
+        steady = lat[1:] if len(lat) > 1 else lat  # first sweep pays compile
+        print(f"live latency (scan->pose): mean {steady.mean()*1e3:.1f} ms, "
+              f"p95 {np.percentile(steady, 95)*1e3:.1f} ms, "
+              f"max {steady.max()*1e3:.1f} ms over {len(lat)} sweeps "
+              f"(first incl. compile: {lat[0]:.2f} s); "
+              f"sub-sweep = < {cfg.sweep_duration*1e3:.0f} ms",
+              file=sys.stderr)
 
     if args.checkpoint_out:
         from wildcat_slam_tpu.odometry import checkpoint
