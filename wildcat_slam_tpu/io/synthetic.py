@@ -22,7 +22,7 @@ import numpy as np
 from scipy.spatial.transform import Rotation
 
 
-def _traj_pose(t, speed=1.0):
+def _traj_pose(t, speed=1.0, rot_scale=1.0, origin=(0.0, 0.0, 0.0), travel=0.0, climb=0.0):
     """Smooth trajectory: position + rotation (scipy) at times t (vectorized).
 
     Starts AT REST with identity attitude (smoothstep envelope with zero initial
@@ -30,21 +30,29 @@ def _traj_pose(t, speed=1.0):
     by construction (the first two IMU states share pos=0, lidar_odometry.cc:379)
     and anchors its world frame at the initial body pose, so a moving start would
     be unobservable initialization error, not algorithm error.
+
+    ``rot_scale`` multiplies both the angular amplitudes and frequencies, so the
+    peak body rate grows ~quadratically (rot_scale=3 peaks near 110 deg/s —
+    aggressive handheld motion). ``origin`` translates the whole trajectory.
+    ``travel``/``climb`` add a sustained drift velocity (m/s along x / z, under
+    the same smoothstep), so long runs cover real distance — this is what
+    pushes the pipeline's own world coordinates far from its voxel-grid origin.
     """
     t = np.asarray(t)
     ramp = np.clip(t / 2.0, 0.0, 1.0)
     s = ramp * ramp * (3.0 - 2.0 * ramp)  # smoothstep: s(0)=s'(0)=0
     pos = np.stack(
         [
-            2.0 * np.sin(0.4 * speed * t) * s,
+            (2.0 * np.sin(0.4 * speed * t) + travel * t) * s,
             1.5 * np.sin(0.3 * speed * t) * s,
-            0.3 * np.sin(0.23 * speed * t) * s,
+            (0.3 * np.sin(0.23 * speed * t) + climb * t) * s,
         ],
         axis=-1,
-    )
-    yaw = (0.5 * np.sin(0.21 * speed * t) + 0.1 * speed * t) * s
-    pitch = 0.12 * np.sin(0.33 * speed * t) * s
-    roll = 0.1 * np.sin(0.27 * speed * t) * s
+    ) + np.asarray(origin, float)
+    rs = rot_scale
+    yaw = (0.5 * rs * np.sin(0.21 * rs * speed * t) + 0.1 * speed * t) * s
+    pitch = 0.12 * rs * np.sin(0.33 * rs * speed * t) * s
+    roll = 0.1 * rs * np.sin(0.27 * rs * speed * t) * s
     rot = Rotation.from_euler("zyx", np.stack([yaw, pitch, roll], axis=-1))
     return pos, rot
 
@@ -72,15 +80,50 @@ class SyntheticSequence:
         seed: int = 0,
         ext_rot: np.ndarray | None = None,
         ext_pos: np.ndarray | None = None,
+        geometry: str = "room",
+        origin: tuple = (0.0, 0.0, 0.0),
+        rot_scale: float = 1.0,
+        travel: float = 0.0,
+        pillar_spacing: float = 0.0,
+        door_spacing: float = 0.0,
     ):
+        """``geometry`` selects the raycast world (all centered on ``origin``):
+        - "room": axis-aligned box (floor/ceiling/4 walls) — planar, the nominal
+          regime of the reference's Hilti indoor sequences.
+        - "cylinder": vertical cylindrical shell of radius ``room_half`` plus
+          floor/ceiling — curved walls, so surfel planes are only locally valid
+          (exercises plane-likeness gating and small-patch matching).
+        - "ramp": endless corridor along x (walls y=±``room_half``/2, ceiling)
+          whose floor is a 15% grade inclined plane — non-axis-aligned planes.
+          NOTE the bare corridor has a continuous translational symmetry along
+          the slope direction (1, 0, 0.15): every plane normal is orthogonal to
+          it, so motion along the corridor is fundamentally unobservable from
+          lidar (the classic corridor degeneracy) and position drifts along
+          that direction by design. Set ``pillar_spacing`` > 0 to line the
+          walls with box pillars, or ``door_spacing`` > 0 to add doorway
+          bulkheads (full cross-walls with a 4 m x 2.75 m door hole) — large
+          ±x-normal planes that make travel along the corridor observable. With ``travel`` > 0
+          the trajectory climbs the ramp (climb = 0.15*travel keeps the sensor
+          ~1 m above the floor), covering real distance — exercises the voxel
+          key packing far from the origin (voxel.py packs cell coords into
+          20-bit fields: ±104 km at 0.2 m cells) and the f32 window-time
+          rebase over many cycles.
+        ``origin`` translates trajectory + world (ground truth is offset; the
+        pipeline's own frame is anchored at the initial pose regardless).
+        ``rot_scale`` drives aggressive angular rates (see ``_traj_pose``).
+        """
         rng = np.random.default_rng(seed)
         self.speed = speed
+        self.rot_scale = rot_scale
+        self.origin = np.asarray(origin, float)
+        self.travel = travel
+        self.climb = 0.15 * travel if geometry == "ramp" else 0.0
         self.g_w = np.array([0.0, 0.0, -gravity])
         dt = 1.0 / imu_rate
         n = int(duration * imu_rate) + 3
 
         t_imu = np.arange(n) * dt
-        pos, rot = _traj_pose(t_imu, speed)
+        pos, rot = _traj_pose(t_imu, speed, rot_scale, origin, travel, self.climb)
         rmat = rot.as_matrix()
 
         # gyro: solve the midpoint recurrence forward (w0 from analytic rate)
@@ -111,30 +154,116 @@ class SyntheticSequence:
         inv_rot = ext_rot.T
         inv_pos = -inv_rot @ ext_pos
 
-        # lidar scans: raycast into the room walls
+        # lidar scans: raycast into the scene surfaces (planes + optional
+        # cylindrical shell), all expressed relative to `origin`
         self.scans = []
         half = room_half
-        normals = np.array(
-            [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]], float
-        )
-        offsets = np.array([half, half, half, half, 1.0, 3.0])  # floor at z=-1, ceil z=3
+        if geometry == "room":
+            normals = np.array(
+                [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]], float
+            )
+            offsets = np.array([half, half, half, half, 1.0, 3.0])  # floor z=-1, ceil z=3
+            cyl_radius = None
+        elif geometry == "cylinder":
+            normals = np.array([[0, 0, 1], [0, 0, -1]], float)
+            offsets = np.array([1.0, 3.0])
+            cyl_radius = half
+        elif geometry == "ramp":
+            # endless corridor along x; floor plane z = 0.15 x - 1 (15% grade),
+            # ceiling parallel to it 4 m above: n.p + off = 0 form below
+            w = half / 2.0
+            normals = np.array(
+                [[0, 1, 0], [0, -1, 0], [-0.15, 0, 1], [0.15, 0, -1]], float
+            )
+            offsets = np.array([w, w, 1.0, 3.0])
+            cyl_radius = None
+            if pillar_spacing > 0.0:
+                # box pillars alternating along both walls, spanning the local
+                # floor..ceiling cross-section — break the corridor's
+                # translational symmetry so travel becomes observable
+                total = abs(travel) * duration + 4 * half
+                k = np.arange(-int(2 * half / pillar_spacing) - 1,
+                              int((total + 2 * half) / pillar_spacing) + 2)
+                xc = k * pillar_spacing
+                yc = np.where(k % 2 == 0, w - 0.4, -(w - 0.4))
+                zlo = 0.15 * xc - 1.2
+                zhi = 0.15 * xc + 3.2
+                a = 0.3  # half-extents
+                boxes = np.stack(
+                    [xc - a, xc + a, yc - a, yc + a, zlo, zhi], axis=1
+                )  # (P, 6): xlo xhi ylo yhi zlo zhi
+            else:
+                boxes = None
+        else:
+            raise ValueError(f"unknown geometry {geometry!r}")
+        if geometry != "ramp":
+            boxes = None
         n_scans = int(duration / scan_period)
         for s in range(n_scans):
             ts = s * scan_period + np.sort(rng.uniform(0, scan_period, points_per_scan))
-            p_s, r_s = _traj_pose(ts, speed)
+            p_s, r_s = _traj_pose(ts, speed, rot_scale, origin, travel, self.climb)
             # random directions, mildly downward-biased like a real spinning lidar
             az = rng.uniform(-np.pi, np.pi, points_per_scan)
             el = rng.uniform(-0.45, 0.45, points_per_scan)
             d_body = np.stack([np.cos(el) * np.cos(az), np.cos(el) * np.sin(az), np.sin(el)], axis=1)
             d_w = np.einsum("nij,nj->ni", r_s.as_matrix(), d_body)
 
-            # first positive intersection among the 6 planes: n.x = -offset
-            # plane: n . x + off = 0 -> t = -(n.p + off) / (n.d)
-            num = -(p_s @ normals.T + offsets)  # (N, 6)
+            # first positive intersection among the planes: n.x = -offset
+            # plane: n . x + off = 0 -> t = -(n.p + off) / (n.d), in local coords
+            p_l = p_s - self.origin
+            num = -(p_l @ normals.T + offsets)  # (N, P)
             den = d_w @ normals.T
             tt = np.where(den != 0, num / den, np.inf)
             tt = np.where(tt > 1e-6, tt, np.inf)
             t_hit = tt.min(axis=1)
+            if boxes is not None:
+                # ray-AABB slab test against the near pillars (entry hit only)
+                near = boxes[np.abs(boxes[:, 0] - p_l[:, 0].mean()) < 130.0 + 4 * half]
+                if len(near):
+                    lo = near[:, 0::2]  # (P, 3)
+                    hi = near[:, 1::2]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        t1 = (lo[None] - p_l[:, None, :]) / d_w[:, None, :]
+                        t2 = (hi[None] - p_l[:, None, :]) / d_w[:, None, :]
+                    tmin = np.nanmax(np.minimum(t1, t2), axis=2)  # (N, P)
+                    tmax = np.nanmin(np.maximum(t1, t2), axis=2)
+                    hit = (tmax >= tmin) & (tmin > 1e-6)
+                    tb = np.where(hit, tmin, np.inf).min(axis=1)
+                    t_hit = np.minimum(t_hit, tb)
+            if geometry == "ramp" and door_spacing > 0.0:
+                # doorway bulkheads: opaque planes x = k*D except a door hole
+                # (|y| <= 2, 0.05 <= z - floor(kD) <= 2.8). A ray can pass
+                # through several door holes; check the first few bulkheads in
+                # ray order and take the first opaque hit.
+                D = door_spacing
+                dx = d_w[:, 0]
+                px = p_l[:, 0]
+                k0 = np.where(dx >= 0, np.ceil(px / D + 1e-9), np.floor(px / D - 1e-9))
+                step = np.where(dx >= 0, 1.0, -1.0)
+                t_door = np.full(len(px), np.inf)
+                hit_found = np.zeros(len(px), bool)
+                for j in range(6):
+                    k = k0 + j * step
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        tk = (k * D - px) / dx
+                    yk = p_l[:, 1] + tk * d_w[:, 1]
+                    zk = p_l[:, 2] + tk * d_w[:, 2]
+                    zrel = zk - (0.15 * k * D - 1.0)
+                    through = (np.abs(yk) <= 2.0) & (zrel >= 0.05) & (zrel <= 2.8)
+                    solid = np.isfinite(tk) & (tk > 1e-6) & ~through & ~hit_found
+                    t_door = np.where(solid, tk, t_door)
+                    hit_found = hit_found | solid
+                t_hit = np.minimum(t_hit, t_door)
+            if cyl_radius is not None:
+                # |p_xy + t d_xy|^2 = R^2: smallest positive root per ray
+                a = np.sum(d_w[:, :2] ** 2, axis=1)
+                bq = np.sum(p_l[:, :2] * d_w[:, :2], axis=1)
+                cq = np.sum(p_l[:, :2] ** 2, axis=1) - cyl_radius**2
+                disc = bq * bq - a * cq
+                sq = np.sqrt(np.maximum(disc, 0.0))
+                roots = np.stack([(-bq - sq), (-bq + sq)], axis=1) / np.maximum(a, 1e-12)[:, None]
+                roots = np.where((disc[:, None] >= 0) & (roots > 1e-6), roots, np.inf)
+                t_hit = np.minimum(t_hit, roots.min(axis=1))
             ok = np.isfinite(t_hit)
             t_hit = np.where(ok, t_hit, 1.0)
             hits_w = p_s + d_w * t_hit[:, None]
@@ -153,7 +282,9 @@ class SyntheticSequence:
 
     def gt_pose(self, t):
         """Ground-truth (pos, rot wxyz quaternion) at times t."""
-        pos, rot = _traj_pose(np.asarray(t), self.speed)
+        pos, rot = _traj_pose(
+            np.asarray(t), self.speed, self.rot_scale, self.origin, self.travel, self.climb
+        )
         q = rot.as_quat()  # xyzw
         return pos, np.concatenate([q[..., 3:4], q[..., :3]], axis=-1)
 
