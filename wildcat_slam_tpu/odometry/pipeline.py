@@ -274,64 +274,9 @@ def _voxel_decimate_indices(xyz: np.ndarray, cap: int, size0: float) -> np.ndarr
     return np.sort(first)[:cap]
 
 
-class _NumpyPointBuffer:
-    """Filtered, IMU-frame point buffer (the reference's points_buff_,
-    lidar_odometry.cc:489-496) — pure-numpy implementation; io/native.py
-    provides the drop-in C++ twin."""
-
-    def __init__(self, cfg: WildcatConfig):
-        self._min2 = cfg.min_range**2
-        self._max2 = cfg.max_range**2
-        self._bb_min = np.asarray(cfg.blind_box_min)
-        self._bb_max = np.asarray(cfg.blind_box_max)
-        self._rot = np.asarray(cfg.ext_lidar2imu_rot, np.float64).reshape(3, 3)
-        self._pos = np.asarray(cfg.ext_lidar2imu_pos, np.float64)
-        self.t = np.zeros((0,), np.float64)
-        self.xyz = np.zeros((0, 3), np.float64)
-
-    def add_points(self, times: np.ndarray, pts_lidar: np.ndarray) -> int:
-        p = pts_lidar @ self._rot.T + self._pos
-        r2 = np.sum(p * p, axis=1)
-        in_box = np.all((p >= self._bb_min) & (p <= self._bb_max), axis=1)
-        keep = (r2 >= self._min2) & (r2 <= self._max2) & ~in_box
-        self.t = np.concatenate([self.t, times[keep]])
-        self.xyz = np.concatenate([self.xyz, p[keep]])
-        return int(keep.sum())
-
-    def __len__(self) -> int:
-        return len(self.t)
-
-    @property
-    def front_time(self) -> float:
-        return float(self.t[0]) if len(self.t) else float("nan")
-
-    @property
-    def back_time(self) -> float:
-        return float(self.t[-1]) if len(self.t) else float("nan")
-
-    def drop_before(self, t_cut: float) -> int:
-        n = int(np.searchsorted(self.t, t_cut, side="left"))
-        self.t, self.xyz = self.t[n:], self.xyz[n:]
-        return n
-
-    def count_until(self, t_end: float) -> int:
-        """Number of buffered points with time < t_end (non-destructive)."""
-        return int(np.searchsorted(self.t, t_end, side="left"))
-
-    def pop_sweep(self, t_end: float, epoch: float, out_t: np.ndarray, out_xyz: np.ndarray) -> int:
-        n = int(np.searchsorted(self.t, t_end, side="left"))
-        m = min(n, len(out_t))
-        out_t[:m] = (self.t[:m] - epoch).astype(np.float32)
-        out_xyz[:m] = self.xyz[:m].astype(np.float32)
-        self.t, self.xyz = self.t[n:], self.xyz[n:]
-        return m
-
-    def dump(self):
-        return self.t.copy(), self.xyz.copy()
-
-    def restore(self, t: np.ndarray, xyz: np.ndarray) -> None:
-        self.t = np.concatenate([self.t, np.asarray(t, np.float64)])
-        self.xyz = np.concatenate([self.xyz, np.asarray(xyz, np.float64)])
+# Chunked host point buffer (numpy twin of native/feeder.cc); kept under the
+# historical name — see _ptbuf.py for the per-scan-cost rationale.
+from wildcat_slam_tpu.odometry._ptbuf import ChunkedPointBuffer as _NumpyPointBuffer
 
 
 class LidarOdometry:
@@ -352,6 +297,7 @@ class LidarOdometry:
                  use_native: bool = False):
         self.cfg = cfg
         self.dtype = jnp.float32 if cfg.dtype == "float32" else jnp.float64
+        self._np_dtype = np.float32 if cfg.dtype == "float32" else np.float64
         self.state = WindowState.empty(cfg, self.dtype)
         if use_native:
             from wildcat_slam_tpu.io import native
@@ -507,17 +453,23 @@ class LidarOdometry:
         feed = self.imu_queue[:k_feed]
         self.imu_queue = self.imu_queue[k_feed:]
 
+        # feed arrays are built directly in the device dtype: converting on
+        # device (jnp.asarray(np_f64, f32)) dispatches one convert_element_type
+        # pjit per array per sweep — measured ~0.6 ms each through the TPU
+        # tunnel — and transfers double-width bytes; the host-side cast is the
+        # same IEEE rounding
+        np_dtype = self._np_dtype
         kmax = int(cfg.sweep_duration * cfg.imu_rate) + 32
         if k_feed > kmax:
             raise RuntimeError(f"IMU feed {k_feed} exceeds capacity {kmax}")
-        imu_t = np.zeros((kmax,), np.float64)
-        imu_acc = np.zeros((kmax, 3), np.float64)
-        imu_gyr = np.zeros((kmax, 3), np.float64)
+        imu_t = np.zeros((kmax,), np_dtype)
+        imu_acc = np.zeros((kmax, 3), np_dtype)
+        imu_gyr = np.zeros((kmax, 3), np_dtype)
         for i, (tt, aa, gg) in enumerate(feed):
             imu_t[i], imu_acc[i], imu_gyr[i] = tt - self.epoch, aa, gg
 
         amax = int(cfg.sweep_duration / cfg.sample_dt) + 8
-        sam_t = np.zeros((amax,), np.float64)
+        sam_t = np.zeros((amax,), np_dtype)
         for i, tt in enumerate(new_sample_abs):
             sam_t[i] = tt - self.epoch
 
@@ -576,15 +528,16 @@ class LidarOdometry:
         n_imu_drop = max(0, int(round((new_front - self.imu_front_time) * rate)))
         fix_first = self.fix_first
 
+        # numpy args go straight into the jitted call: one transfer each inside
+        # the dispatch, no separate asarray/convert round-trips per argument
         state, out = process_sweep(
             self.state,
-            jnp.asarray(imu_t, self.dtype), jnp.asarray(imu_acc, self.dtype),
-            jnp.asarray(imu_gyr, self.dtype), jnp.asarray(k_feed, jnp.int32),
-            jnp.asarray(sam_t, self.dtype), jnp.asarray(n_add, jnp.int32),
-            jnp.asarray(p_xyz, self.dtype), jnp.asarray(p_t, self.dtype),
-            jnp.asarray(n_pts_cap, jnp.int32),
-            jnp.asarray(n_drop, jnp.int32), jnp.asarray(n_imu_drop, jnp.int32),
-            jnp.asarray(fix_first),
+            imu_t, imu_acc, imu_gyr, np.int32(k_feed),
+            sam_t, np.int32(n_add),
+            p_xyz.astype(np_dtype, copy=False), p_t.astype(np_dtype, copy=False),
+            np.int32(n_pts_cap),
+            np.int32(n_drop), np.int32(n_imu_drop),
+            np.bool_(fix_first),
             cfg,
             emit_cloud=self.clouds is not None,
         )
