@@ -156,7 +156,8 @@ class TestNanPointFiltering:
 
         py = _NumpyPointBuffer(cfg)
         n_py = py.add_points(times, pts.copy())
-        assert np.all(np.isfinite(py.xyz))
+        tp, xp = py.dump()
+        assert np.all(np.isfinite(xp))
 
         if not native.available():
             pytest.skip("native library not built")
@@ -164,5 +165,5 @@ class TestNanPointFiltering:
         n_nat = nat.add_points(times, pts.copy())
         assert n_nat == n_py
         tn, xn = nat.dump()
-        np.testing.assert_allclose(np.asarray(tn), py.t, atol=0)
-        np.testing.assert_allclose(np.asarray(xn), py.xyz, rtol=0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(tn), tp, atol=0)
+        np.testing.assert_allclose(np.asarray(xn), xp, rtol=0, atol=1e-6)

@@ -85,8 +85,19 @@ def extract_surfels(
     dtype = pts.dtype
     n_levels = cfg.max_voxel_depth + 1
     min_pts = cfg.min_points_per_plane
+    v_cap = cfg.max_voxels_per_sweep
+    nc = cfg.max_leaves_per_sweep
+    arange_p = jnp.arange(p_cap, dtype=jnp.int32)
 
+    # TPU cost shape (profiled at 64k points): random row gathers of small rows
+    # run at ~0.5 GB/s effective (4-byte rows vs 512-byte lanes), while carrying
+    # the same channels through lax.sort's bitonic passes is ~10x cheaper, and
+    # a scatter-add segment_sum serializes on duplicate targets. So each level
+    # sorts WITH its payload, and every segment/cluster reduction is a range
+    # difference of one running sum (tiny unique-index gathers at compact
+    # slots), not a scatter.
     per_level = []
+    n_seg_dropped = jnp.asarray(0, jnp.int32)
     for level in range(n_levels):
         size = cfg.voxel_size / (2.0**level)
         cell = jnp.floor(pts / size).astype(jnp.int32)
@@ -96,39 +107,42 @@ def extract_surfels(
         lo = jnp.where(valid, lo, big)
 
         # Stable lexicographic sort by (hi, lo); stability preserves the input
-        # time order inside each cell (insertion order in the reference octree).
-        perm0 = jnp.arange(p_cap, dtype=jnp.int32)
-        hi_s, lo_s, perm = jax.lax.sort((hi, lo, perm0), dimension=0, num_keys=2, is_stable=True)
-
-        pts_s = pts[perm]
-        t_s = t[perm]
-        valid_s = valid[perm]
-        cell_s = cell[perm]
+        # time order inside each cell (insertion order in the reference
+        # octree). Payload rides the sort operands.
+        (hi_s, lo_s, perm, px, py, pz, t_s, valid_s, cx, cy, cz) = jax.lax.sort(
+            (hi, lo, arange_p, pts[:, 0], pts[:, 1], pts[:, 2], t, valid,
+             cell[:, 0], cell[:, 1], cell[:, 2]),
+            dimension=0, num_keys=2, is_stable=True)
+        pts_s = jnp.stack([px, py, pz], axis=1)
+        cell_s = jnp.stack([cx, cy, cz], axis=1)
 
         is_start = jnp.concatenate(
             [jnp.ones((1,), bool), (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])]
         )
         seg_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
 
-        # Anchor = cell center; second moments accumulated about it (see module doc).
+        # Anchor = cell center; second moments accumulated about it (see module
+        # doc). One (P, 11) running sum serves both the node moments and the
+        # cluster moments below.
         anchor = (cell_s.astype(dtype) + 0.5) * size
         q = jnp.where(valid_s[:, None], pts_s - anchor, 0.0)
         w = valid_s.astype(dtype)
-
-        n_seg = jax.ops.segment_sum(w, seg_id, num_segments=p_cap, indices_are_sorted=True)
-        # pack (1 | q | unique second-moment entries) into one (P, 10) segment
-        # sum: one reduction pass, and the symmetric moment carries 6 entries
         qq = jnp.stack([q[:, 0] * q[:, 0], q[:, 1] * q[:, 1], q[:, 2] * q[:, 2],
                         q[:, 0] * q[:, 1], q[:, 0] * q[:, 2], q[:, 1] * q[:, 2]], axis=1)
-        moments = jax.ops.segment_sum(
-            jnp.concatenate([q, qq], axis=1), seg_id, num_segments=p_cap,
-            indices_are_sorted=True)
-        s1 = moments[:, 0:3]
-        s2 = _unpack_sym(moments[:, 3:9])
-        # exact anchor per segment: the cell coords of its first point (all
-        # points in a segment share the cell; gather beats a segment_min)
-        start_pos = voxel.segment_start_positions(seg_id, is_start, p_cap)
-        cmin = cell_s[jnp.clip(start_pos, 0, p_cap - 1)]
+        tw = jnp.where(valid_s, t_s, 0.0).astype(dtype)
+        chan = jnp.concatenate([w[:, None], q, qq, tw[:, None]], axis=1)
+        cumz = jnp.concatenate([jnp.zeros((1, 11), dtype), jnp.cumsum(chan, axis=0)])
+
+        # compact segment start positions: slot j in [0, v_cap); slot v_cap
+        # doubles as the open-ended sentinel. Segments beyond v_cap are
+        # dropped — and counted (capacity loss is never silent).
+        idx = jnp.where(is_start, seg_id, v_cap + 1)
+        start_arr = jnp.full((v_cap + 1,), p_cap, jnp.int32).at[idx].set(
+            arange_p, mode="drop", unique_indices=True, indices_are_sorted=True)
+        sums = cumz[start_arr[1:]] - cumz[start_arr[:-1]]  # (V, 11)
+        n_seg = sums[:, 0]
+        s1 = sums[:, 1:4]
+        s2 = _unpack_sym(sums[:, 4:10])
 
         n_safe = jnp.maximum(n_seg, 1.0)
         mean_q = s1 / n_safe[:, None]
@@ -137,81 +151,77 @@ def extract_surfels(
         node_plane = _plane_test(vals, cfg.planer_threshold, cfg.min_plane_likeness, strict=True)
         node_big = n_seg > min_pts  # strictly greater (surfel_extraction.cc:129,172)
 
-        per_level.append(
-            dict(
-                perm=perm, seg_id=seg_id, is_start=is_start, t_s=t_s, valid_s=valid_s,
-                anchor=anchor, q=q, w=w, n=n_seg, plane=node_plane, big=node_big,
-                cmin=cmin, size=size, start_pos=start_pos,
-            )
-        )
+        n_segs_valid = jnp.sum((is_start & valid_s).astype(jnp.int32))
+        n_seg_dropped += jnp.maximum(0, n_segs_valid - v_cap)
 
-    # --- hierarchy gating, evaluated per SEGMENT (not per point) ---
-    # Each child segment's parent cell is found through the child's first point:
-    # input index perm_l[start], position in the parent's sort order via the
-    # parent's inverse permutation, then the parent's seg_id there. One int32
-    # inverse-permutation scatter per parent level replaces six per-point flag
-    # scatters + per-point flag combination (~2.8 ms/sweep at 32k points).
-    arange_p = jnp.arange(p_cap, dtype=jnp.int32)
+        per_level.append(dict(
+            perm=perm, is_start=is_start, seg_id=seg_id, start_arr=start_arr,
+            t_s=t_s, valid_s=valid_s, cell_s=cell_s, cumz=cumz,
+            n=n_seg, plane=node_plane, big=node_big, size=size,
+        ))
+
+    # --- hierarchy gating, evaluated per compact SLOT ---
+    # A child segment's parent slot is found through the child's first point:
+    # its input index, its position in the parent's sort order (inverse
+    # permutation), the parent's seg_id there.
     inv_perm = []
     for l in range(n_levels - 1):  # only parent levels need an inverse
         ip = jnp.zeros((p_cap,), jnp.int32).at[per_level[l]["perm"]].set(
             arange_p, unique_indices=True)
         inv_perm.append(ip)
 
-    def parent_seg(level):
-        """Parent-level segment id for every level segment slot."""
-        lv = per_level[level]
-        i0 = lv["perm"][jnp.clip(lv["start_pos"], 0, p_cap - 1)]
-        return per_level[level - 1]["seg_id"][inv_perm[level - 1][i0]]
-
     # level 0 fits when big; level 1 always follows a big root (forced split,
     # surfel_extraction.cc:131-137); deeper levels only under non-planar parents
     fitted = [per_level[0]["big"]]
     for l in range(1, n_levels):
-        prev = per_level[l - 1]
-        parent_open = fitted[l - 1] if l == 1 else fitted[l - 1] & ~prev["plane"]
-        fitted.append(parent_open[parent_seg(l)] & per_level[l]["big"])
-    cand = [fitted[l] & per_level[l]["plane"] for l in range(n_levels)]  # per segment
+        lv = per_level[l]
+        parent_open = fitted[l - 1] if l == 1 else fitted[l - 1] & ~per_level[l - 1]["plane"]
+        i0 = lv["perm"][jnp.clip(lv["start_arr"][:-1], 0, p_cap - 1)]
+        pseg = per_level[l - 1]["seg_id"][inv_perm[l - 1][i0]]
+        ok = parent_open[jnp.clip(pseg, 0, v_cap - 1)] & (pseg < v_cap)
+        fitted.append(ok & lv["big"])
+    cand = [fitted[l] & per_level[l]["plane"] for l in range(n_levels)]  # per slot
 
     # --- temporal clustering within candidate nodes, per level ---
     out_chunks = []
-    n_cluster_dropped = jnp.asarray(0, jnp.int32)
-    nc = cfg.max_leaves_per_sweep
+    n_cluster_dropped = n_seg_dropped
     for level in range(n_levels):
         lv = per_level[level]
-        cand_s = cand[level][lv["seg_id"]] & lv["valid_s"]
+        seg_ok = lv["seg_id"] < v_cap
+        cand_s = cand[level][jnp.clip(lv["seg_id"], 0, v_cap - 1)] & seg_ok & lv["valid_s"]
 
         gap = jnp.concatenate(
             [jnp.ones((1,), bool), (lv["t_s"][1:] - lv["t_s"][:-1]) > cfg.cluster_time_gap]
         )
         new_cluster = (lv["is_start"] | gap) & cand_s
-        # points outside candidate nodes get an out-of-range id -> dropped by segment_sum
-        cl_id = jnp.where(cand_s, jnp.cumsum(new_cluster.astype(jnp.int32)) - 1, nc)
+        cl_id = jnp.cumsum(new_cluster.astype(jnp.int32)) - 1
         n_cluster_dropped += jnp.maximum(0, jnp.sum(new_cluster.astype(jnp.int32)) - nc)
 
-        w = cand_s.astype(dtype)
-        q = lv["q"] * w[:, None]
-        qq = jnp.stack([q[:, 0] * lv["q"][:, 0], q[:, 1] * lv["q"][:, 1], q[:, 2] * lv["q"][:, 2],
-                        q[:, 0] * lv["q"][:, 1], q[:, 0] * lv["q"][:, 2], q[:, 1] * lv["q"][:, 2]], axis=1)
-        tw = jnp.where(cand_s, lv["t_s"], 0.0).astype(dtype)
-        moments = jax.ops.segment_sum(
-            jnp.concatenate([w[:, None], q, qq, tw[:, None]], axis=1), cl_id, num_segments=nc)
-        n_cl = moments[:, 0]
-        s1 = moments[:, 1:4]
-        s2 = _unpack_sym(moments[:, 4:10])
-        st = moments[:, 10]
-        # a cluster subdivides one cell in time, so its cell coords are those of
-        # its first point: one unique-index scatter + gather instead of three
-        # segment_mins (which cost ~4.8 ms/sweep across the levels)
-        sp = voxel.segment_start_positions(cl_id, new_cluster, nc)
-        sp = jnp.clip(sp, 0, p_cap - 1)
-        cmin = lv["cmin"][lv["seg_id"][sp]]
+        # cluster start positions; slot nc is the next-of-last sentinel
+        idx = jnp.where(new_cluster, cl_id, nc + 1)
+        cl_start = jnp.full((nc + 1,), p_cap, jnp.int32).at[idx].set(
+            arange_p, mode="drop", unique_indices=True, indices_are_sorted=True)
+        # A cluster never crosses its segment, and every point of a candidate
+        # segment is a candidate (candidacy is per segment; padding sorts to
+        # the tail), so the range [start, min(next cluster start, segment
+        # end)) contains exactly the cluster's points.
+        first = jnp.clip(cl_start[:nc], 0, p_cap - 1)
+        seg_of = lv["seg_id"][first]
+        seg_end = lv["start_arr"][jnp.clip(seg_of + 1, 0, v_cap)]
+        cl_end = jnp.maximum(jnp.minimum(cl_start[1:], seg_end), cl_start[:nc])
+        sums = lv["cumz"][cl_end] - lv["cumz"][cl_start[:nc]]  # (NC, 11)
+        n_cl = sums[:, 0]
+        s1 = sums[:, 1:4]
+        s2 = _unpack_sym(sums[:, 4:10])
+        st = sums[:, 10]
 
         n_safe = jnp.maximum(n_cl, 1.0)
         mean_q = s1 / n_safe[:, None]
         cov = s2 / n_safe[:, None, None] - mean_q[:, :, None] * mean_q[:, None, :]
         tmean = st / n_safe
-        anchor = (cmin.astype(dtype) + 0.5) * lv["size"]
+        # a cluster subdivides one cell in time: anchor = its first point's
+        # cell center
+        anchor = (lv["cell_s"][first].astype(dtype) + 0.5) * lv["size"]
         center = anchor + mean_q
 
         vals, vecs = eigh3(cov)
@@ -225,14 +235,12 @@ def extract_surfels(
         flip = jnp.sum(norm * center, axis=1) < 0.0
         norm = jnp.where(flip[:, None], -norm, norm)
 
-        out_chunks.append(
-            dict(
-                t=tmean, center=center, cov=cov, norm=norm,
-                resolution=jnp.full((nc,), lv["size"], dtype),
-                std=jnp.sqrt(jnp.maximum(vals[:, 0], 0.0)),
-                valid=keep,
-            )
-        )
+        out_chunks.append(dict(
+            t=tmean, center=center, cov=cov, norm=norm,
+            resolution=jnp.full((nc,), lv["size"], dtype),
+            std=jnp.sqrt(jnp.maximum(vals[:, 0], 0.0)),
+            valid=keep,
+        ))
 
     merged = {k: jnp.concatenate([c[k] for c in out_chunks], axis=0) for k in out_chunks[0]}
 
