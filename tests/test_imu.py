@@ -191,3 +191,43 @@ class TestInterpPose:
         pt_t = jnp.asarray(np.random.default_rng(5).uniform(0.05, 0.85, 100))
         out = imu_mod.undistort_points(imu, pt_t, pts)
         np.testing.assert_allclose(np.asarray(out), np.asarray(pts), atol=1e-12)
+
+
+class TestSortedUndistortFastPath:
+    def _make_imu(self, n=40, dtype=jnp.float64):
+        rng = np.random.default_rng(11)
+        t = np.arange(n) * 0.005
+        pos = np.cumsum(rng.normal(scale=0.01, size=(n, 3)), axis=0)
+        rotvec = np.cumsum(rng.normal(scale=0.02, size=(n, 3)), axis=0)
+        imu = ImuStates.empty(64, dtype=dtype)
+        imu = imu.replace(
+            t=imu.t.at[:n].set(jnp.asarray(t)),
+            pos=imu.pos.at[:n].set(jnp.asarray(pos)),
+            rot=imu.rot.at[:n].set(lie.exp_quat(jnp.asarray(rotvec))),
+            count=jnp.asarray(n, jnp.int32),
+        )
+        return imu, t
+
+    def test_matches_gather_path_with_padding(self):
+        # the sorted fast path (tick-side diff scatter + running sum,
+        # imu.py:_interp_pose_sorted) must agree with the per-point gather
+        # path, including grid-exact stamps and a zero-padded tail
+        imu, t = self._make_imu()
+        rng = np.random.default_rng(12)
+        q = np.sort(rng.uniform(t[1] + 1e-9, t[-1] - 1e-9, 500))
+        q[100:110] = t[7]  # exact knot ties
+        q = np.sort(q)
+        qpad = np.concatenate([q, np.zeros(37)])  # padding tail like a sweep
+        pts = rng.normal(size=(len(qpad), 3))
+        ref = imu_mod.undistort_points(imu, jnp.asarray(q), jnp.asarray(pts[: len(q)]))
+        got = imu_mod.undistort_points(
+            imu, jnp.asarray(qpad), jnp.asarray(pts), sorted_t=True)
+        np.testing.assert_allclose(np.asarray(got)[: len(q)], np.asarray(ref), atol=1e-9)
+
+    def test_all_points_after_last_state(self):
+        imu, t = self._make_imu()
+        q = np.sort(np.random.default_rng(13).uniform(t[-1], t[-1] + 0.1, 64))
+        pts = np.random.default_rng(14).normal(size=(64, 3))
+        ref = imu_mod.undistort_points(imu, jnp.asarray(q), jnp.asarray(pts))
+        got = imu_mod.undistort_points(imu, jnp.asarray(q), jnp.asarray(pts), sorted_t=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-9)

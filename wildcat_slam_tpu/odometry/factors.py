@@ -165,16 +165,40 @@ def build_surfel_factors(
         )
 
 
-def surfel_residuals(fac: SurfelFactors, cor: jnp.ndarray, with_jac: bool = True):
+def interp_weights(fac: SurfelFactors, s_cap: int, dtype):
+    """(W1, W2): (M, S) bracket-lerp weight matrices, constant through a solve.
+
+    ``W @ cor`` reproduces ``_interp_cor`` as one MXU contraction instead of
+    per-factor row gathers (built once per solve — the brackets don't move),
+    and doubles as the scatter map for the Jacobian rows: row m of J is
+    ``W1[m] ⊗ j1[m] + W2[m] ⊗ j2[m]``."""
+    ar = jnp.arange(s_cap, dtype=jnp.int32)
+    w1 = ((fac.i1l[:, None] == ar) * (1.0 - fac.f1)[:, None]
+          + (fac.i1r[:, None] == ar) * fac.f1[:, None])
+    w2 = ((fac.i2l[:, None] == ar) * (1.0 - fac.f2)[:, None]
+          + (fac.i2r[:, None] == ar) * fac.f2[:, None])
+    return w1.astype(dtype), w2.astype(dtype)
+
+
+def surfel_residuals(fac: SurfelFactors, cor: jnp.ndarray, with_jac: bool = True,
+                     w_interp=None):
     """Evaluate residuals and (optionally) Jacobian blocks.
 
     Returns (r (M,), jac (M, 4, 12), idx (M, 4)): per-factor contributions onto
     sample blocks (i1l, i1r, i2l, i2r) — unary factors carry zero weight on the
     first two. Residual (cost_functor.h:39,140):
     r = w n . (T1 - T2),  T_i = Exp(r_si) v_i + t_si + p_i (optimized side).
+
+    ``w_interp``: optional precomputed :func:`interp_weights` — routes the
+    correction interpolation through the MXU instead of row gathers.
     """
-    c1 = _interp_cor(cor, fac.i1l, fac.i1r, fac.f1)
-    c2 = _interp_cor(cor, fac.i2l, fac.i2r, fac.f2)
+    if w_interp is not None:
+        w1, w2 = w_interp
+        c1 = w1 @ cor
+        c2 = w2 @ cor
+    else:
+        c1 = _interp_cor(cor, fac.i1l, fac.i1r, fac.f1)
+        c2 = _interp_cor(cor, fac.i2l, fac.i2r, fac.f2)
     r1c, t1c = c1[:, 0:3], c1[:, 3:6]
     r2c, t2c = c2[:, 0:3], c2[:, 3:6]
 

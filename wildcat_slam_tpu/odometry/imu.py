@@ -222,8 +222,62 @@ def interp_pose(imu: ImuStates, query_t: jnp.ndarray):
     return pos, rot
 
 
-def undistort_points(imu: ImuStates, pt_t: jnp.ndarray, pt_xyz: jnp.ndarray):
+def _interp_pose_sorted(imu: ImuStates, query_t: jnp.ndarray):
+    """interp_pose for a time-SORTED query vector (a sweep's point stamps).
+
+    With sorted queries the bracket indices are non-decreasing, so the
+    per-point bracket-state lookup — 16 channels of 4-byte random row gathers,
+    which run at ~0.5 GB/s effective on TPU — can be rebuilt as a tick-side
+    difference scatter (K rows) plus one running sum over the points: exact
+    telescoping, identical bracketing (the positions come from the same
+    ``bracket_indices`` result via searchsorted, so tie handling is shared).
+    """
+    # the padding tail of a sweep holds zeros — clamp to the running max so the
+    # index sequence stays monotone (identity on genuinely sorted stamps;
+    # padding points get the last pose and are masked downstream)
+    query_t = jax.lax.associative_scan(jnp.maximum, query_t)
+    idx = bracket_indices(imu, query_t)  # (P,) non-decreasing in [1, count-1]
+    k_cap = imu.t.shape[0]
+    p_cap = query_t.shape[0]
+    dtype = imu.pos.dtype
+
+    # per-tick channel matrix: [t(k-1), t(k), pos(k-1), pos(k), rot(k-1), rot(k)]
+    def prev(a):
+        return jnp.concatenate([a[:1], a[:-1]], axis=0)
+
+    vals = jnp.concatenate(
+        [imu.t[:, None].astype(dtype), prev(imu.t)[:, None].astype(dtype),
+         imu.pos, prev(imu.pos), imu.rot, prev(imu.rot)],
+        axis=1,
+    )  # (K, 16)
+    # first point position of each tick's bracket run; ticks with no points
+    # collapse onto the same position (their deltas telescope)
+    s = jnp.searchsorted(idx, jnp.arange(k_cap, dtype=idx.dtype), side="left")
+    delta = jnp.concatenate([vals[:1], vals[1:] - vals[:-1]], axis=0)
+    scat = jnp.zeros((p_cap, vals.shape[1]), dtype).at[s].add(delta, mode="drop")
+    per_pt = jnp.cumsum(scat, axis=0)  # (P, 16) = vals[idx]
+
+    t1 = per_pt[:, 0]
+    t0 = per_pt[:, 1]
+    pos1 = per_pt[:, 2:5]
+    pos0 = per_pt[:, 5:8]
+    rot1 = per_pt[:, 8:12]
+    rot0 = per_pt[:, 12:16]
+    f = (query_t.astype(dtype) - t0) / jnp.maximum(t1 - t0, jnp.finfo(dtype).tiny)
+    f = jnp.clip(f, 0.0, 1.0)
+    pos = pos0 * (1.0 - f)[..., None] + pos1 * f[..., None]
+    rot = lie.quat_slerp(rot0, rot1, f)
+    return pos, rot
+
+
+def undistort_points(imu: ImuStates, pt_t: jnp.ndarray, pt_xyz: jnp.ndarray,
+                     sorted_t: bool = False):
     """UndistortSweep (lidar_odometry.cc:143-158): transform each point into the
-    world frame using the interpolated pose at its timestamp."""
-    pos, rot = interp_pose(imu, pt_t)
+    world frame using the interpolated pose at its timestamp. Pass
+    ``sorted_t=True`` when ``pt_t`` is non-decreasing (a sweep in arrival
+    order) to take the scan-free fast path."""
+    if sorted_t:
+        pos, rot = _interp_pose_sorted(imu, pt_t)
+    else:
+        pos, rot = interp_pose(imu, pt_t)
     return lie.quat_rotate(rot, pt_xyz) + pos

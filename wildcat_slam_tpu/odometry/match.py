@@ -108,11 +108,17 @@ def match_surfels(
                         center_dist=center_dist, angular_dist=angular_dist, k=k,
                         approx=approx)
 
-    # Per-candidate filter mask (vectorized once for all ranks).
-    cand_t = tt[knn]                            # (Q, k)
-    cand_c = ct[knn]
-    cand_n = nt[knn]
-    cand_v = vt[knn]
+    # Per-candidate filter mask (vectorized once for all ranks). One packed
+    # (T, 8) gather instead of four narrow ones — TPU random row gathers are
+    # bandwidth-miserable on 4-byte rows, so width is everything.
+    dtype = cq.dtype
+    tgt = jnp.concatenate(
+        [tt[:, None], ct, nt, vt.astype(dtype)[:, None]], axis=1)  # (T, 8)
+    g = tgt[knn]                                # (Q, k, 8)
+    cand_t = g[..., 0]
+    cand_c = g[..., 1:4]
+    cand_n = g[..., 4:7]
+    cand_v = g[..., 7] > 0.5
     dt_abs = jnp.abs(cand_t - tq[:, None])
     cosang = jnp.clip(jnp.sum(nq[:, None, :] * cand_n, axis=-1), -1.0, 1.0)
     ang = jnp.arccos(cosang)
@@ -151,9 +157,18 @@ def match_surfels(
 
         return new_matched, new_partner
 
-    matched = jnp.zeros((q_cap,), bool)
-    partner = jnp.full((q_cap,), no_partner, jnp.int32)
-    matched, partner = jax.lax.fori_loop(0, k, round_step, (matched, partner))
+    if self_match:
+        matched = jnp.zeros((q_cap,), bool)
+        partner = jnp.full((q_cap,), no_partner, jnp.int32)
+        matched, partner = jax.lax.fori_loop(0, k, round_step, (matched, partner))
+    else:
+        # no duplicate/mutual bookkeeping across queries: the sequential
+        # fall-through degenerates to "first passing rank wins" — closed form,
+        # no rounds loop (argmax on bool picks the first True)
+        matched = jnp.any(ok, axis=1)
+        first = jnp.argmax(ok, axis=1)
+        partner = jnp.where(
+            matched, knn[qidx, first].astype(jnp.int32), no_partner)
 
     if self_match:
         # mutual pair recorded from both sides can only remain if accepted in

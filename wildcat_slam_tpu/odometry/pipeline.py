@@ -110,7 +110,7 @@ def process_sweep(
 
     # 3. undistort sweep (cc:518-520)
     pts_valid = jnp.arange(pts.shape[0]) < pts_n
-    pts_world = imu_mod.undistort_points(imu, pts_t, pts)
+    pts_world = imu_mod.undistort_points(imu, pts_t, pts, sorted_t=True)
 
     # 4. surfel extraction + pose attachment (cc:522-527)
     sweep_surf = extract_surfels(pts_world, pts_t, pts_valid, cfg)
@@ -224,7 +224,7 @@ def process_sweep(
     # final undistortion for output (cc:584-595) with post-solve poses — only
     # when the caller collects clouds (static flag: skipped work is not traced)
     if emit_cloud:
-        pts_world_final = imu_mod.undistort_points(imu2, pts_t - shift, pts)
+        pts_world_final = imu_mod.undistort_points(imu2, pts_t - shift, pts, sorted_t=True)
     else:
         pts_world_final = jnp.zeros_like(pts)
 

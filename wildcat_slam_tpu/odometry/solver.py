@@ -32,18 +32,6 @@ from wildcat_slam_tpu.odometry import factors as fmod
 from wildcat_slam_tpu.odometry.states import SampleStates
 
 
-def _scatter_surfel_rows(jac, idx, s_cap):
-    """(M, 4, 12) blocks at (M, 4) sample indices -> dense rows (M, S*12).
-
-    Built as a one-hot contraction instead of a scatter-add: XLA serializes
-    scatters whose indices it cannot prove unique (coincident bracket indices
-    are legal here), while the equivalent one-hot einsum runs on the MXU."""
-    m = jac.shape[0]
-    oh = (idx[:, :, None] == jnp.arange(s_cap)[None, None, :]).astype(jac.dtype)  # (M,4,S)
-    rows = jnp.einsum("mks,mkj->msj", oh, jac)
-    return rows.reshape(m, s_cap * 12)
-
-
 def _imu_banded_normal_eqs(jac, idx, ri, s_cap):
     """IMU-factor contribution to (H, g) via banded accumulation.
 
@@ -175,22 +163,33 @@ def solve_window(
     frozen_pos0 = (par_state == 0) & (par_slot >= 3) & (par_slot < 6) & fix_first_pos
     free = free & ~frozen_pos0
 
+    # bracket-lerp weight matrices: constant through the solve, shared by the
+    # interpolation (MXU matmul instead of row gathers) and the J-row scatter
+    w_interp = fmod.interp_weights(sfac, s_cap, dtype)
+
     def eval_cost(cor_flat):
         # residual-only fast path: no Jacobians on the candidate evaluation
         cor = cor_flat.reshape(s_cap, 12)
-        rs, _, _ = fmod.surfel_residuals(sfac, cor, with_jac=False)
+        rs, _, _ = fmod.surfel_residuals(sfac, cor, with_jac=False, w_interp=w_interp)
         ri, _, _ = fmod.imu_residuals(ifac, cor, weights, dt, grav, with_jac=False)
         robust = a2 * jnp.log1p(rs * rs / a2)
         return 0.5 * (jnp.sum(robust) + jnp.sum(ri * ri))
 
     def build_normal_eqs(cor_flat):
         cor = cor_flat.reshape(s_cap, 12)
-        rs, jac_s, idx_s = fmod.surfel_residuals(sfac, cor)
+        rs, jac_s, idx_s = fmod.surfel_residuals(sfac, cor, w_interp=w_interp)
         ri, jac_i, idx_i = fmod.imu_residuals(ifac, cor, weights, dt, grav)
 
         # Cauchy IRLS scaling: sqrt(rho'(s)), rho'(s) = 1/(1 + s/a^2)
         sw = 1.0 / jnp.sqrt(1.0 + rs * rs / a2)
-        js = _scatter_surfel_rows(jac_s, idx_s, s_cap) * sw[:, None]
+        # J rows via the shared bracket-weight matrices: the lerp factors in
+        # jac_s blocks (0+1) and (2+3) cancel back to the raw side Jacobians
+        j1v = jac_s[:, 0] + jac_s[:, 1]
+        j2v = jac_s[:, 2] + jac_s[:, 3]
+        w1, w2 = w_interp
+        js = (jnp.einsum("ms,mj->msj", w1, j1v)
+              + jnp.einsum("ms,mj->msj", w2, j2v)).reshape(jac_s.shape[0], s_cap * 12)
+        js = js * sw[:, None]
         rs_w = rs * sw
         hi, gi = _imu_banded_normal_eqs(jac_i, idx_i, ri, s_cap)
 
