@@ -5,10 +5,12 @@ implementation of the Wildcat paper, arXiv:2205.12595). The reference's C++/ROS/
 stack is re-designed as a functional JAX library:
 
 - ``ops``      — compute primitives: Lie-group math, splines, batched 3x3 eigh,
-                 voxel hashing, correspondence search. Hot ops are expressed as
-                 XLA-friendly dense/segmented algebra (MXU contractions,
-                 approx_max_k); measured against hand-written kernels, plain XLA
-                 won on every candidate (docs/ARCHITECTURE.md "kernel strategy").
+                 voxel hashing, correspondence search, and the fused Pallas PCG
+                 solver (pcg_pallas.py, VMEM-resident H + preconditioner). The
+                 other hot ops are deliberately expressed as XLA-friendly
+                 dense/segmented algebra — payload-carrying sorts, running-sum
+                 range reductions, MXU contractions, approx_max_k — chosen per
+                 measured profile (docs/ARCHITECTURE.md "kernel strategy").
 - ``odometry`` — the sliding-window odometry core: states, IMU propagation, sweep
                  undistortion, surfel extraction, factors, Gauss-Newton solver,
                  window management, and the host-facing pipeline.

@@ -106,7 +106,10 @@ class WildcatConfig:
     # block-Jacobi PCG with a small fixed budget: measured equal to dense
     # Cholesky at steady state (3-4 LM iterations) and ~2x faster on
     # iteration-heavy early sweeps; LM only needs a descent step, so an
-    # inexact solve is fine ("cholesky" remains available)
+    # inexact solve is fine. "pcg" auto-selects the fused Pallas kernel
+    # (ops/pcg_pallas.py, H + preconditioner VMEM-resident) on TPU backends
+    # and the portable lax.while_loop elsewhere; "pcg_xla" forces the
+    # portable path; "cholesky" remains available
     linear_solver: str = "pcg"
     pcg_iters: int = 24
     pcg_tol: float = 1e-2

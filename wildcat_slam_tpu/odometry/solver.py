@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from wildcat_slam_tpu.odometry import factors as fmod
 from wildcat_slam_tpu.odometry.states import SampleStates
+from wildcat_slam_tpu.ops import pcg_pallas
 
 
 def _imu_banded_normal_eqs(jac, idx, ri, s_cap):
@@ -128,7 +129,8 @@ def _pcg_solve(h: jnp.ndarray, b: jnp.ndarray, s_cap: int, iters: int, tol: floa
     return x
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "dt", "linear_solver", "pcg_iters"))
+@partial(jax.jit, static_argnames=("max_iterations", "dt", "linear_solver", "pcg_iters",
+                                   "pcg_tol"))
 def solve_window(
     sample: SampleStates,
     sfac: fmod.SurfelFactors,
@@ -166,6 +168,14 @@ def solve_window(
     # bracket-lerp weight matrices: constant through the solve, shared by the
     # interpolation (MXU matmul instead of row gathers) and the J-row scatter
     w_interp = fmod.interp_weights(sfac, s_cap, dtype)
+
+    # the fused Pallas PCG runs on real TPU backends only ("pcg_xla" forces the
+    # portable lax.while_loop path; CPU tests and f64 always use it)
+    use_fused_pcg = (
+        linear_solver == "pcg"
+        and dtype == jnp.float32
+        and jax.devices()[0].platform not in ("cpu", "gpu")
+    )
 
     def eval_cost(cor_flat):
         # residual-only fast path: no Jacobians on the candidate evaluation
@@ -212,10 +222,18 @@ def solve_window(
         # regrow lambda and re-solve — no re-linearization
         cor_flat, lam, nu, cost, h, g, k, done = state
         d = jnp.clip(jnp.diag(h), 1e-6, 1e32)
-        h_damped = h + lam * jnp.diag(d)
-        if linear_solver == "pcg":
+        if use_fused_pcg:
+            # single Pallas kernel: H + preconditioner stay VMEM-resident for
+            # all iterations (ops/pcg_pallas.py); damping folded into the matvec
+            dlam = lam * d
+            minv = pcg_pallas.block_diag_inverse(h, dlam, s_cap)
+            delta = pcg_pallas.pcg_solve_fused(h, dlam, minv, -g,
+                                               iters=pcg_iters, tol=pcg_tol)
+        elif linear_solver in ("pcg", "pcg_xla"):
+            h_damped = h + lam * jnp.diag(d)
             delta = _pcg_solve(h_damped, -g, s_cap, pcg_iters, pcg_tol)
         else:
+            h_damped = h + lam * jnp.diag(d)
             delta = -jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(h_damped), g)
         new_flat = cor_flat + delta
         new_cost = eval_cost(new_flat)
