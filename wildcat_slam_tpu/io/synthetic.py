@@ -86,6 +86,7 @@ class SyntheticSequence:
         travel: float = 0.0,
         pillar_spacing: float = 0.0,
         door_spacing: float = 0.0,
+        ramp_slope: float = 0.15,
     ):
         """``geometry`` selects the raycast world (all centered on ``origin``):
         - "room": axis-aligned box (floor/ceiling/4 walls) — planar, the nominal
@@ -117,7 +118,7 @@ class SyntheticSequence:
         self.rot_scale = rot_scale
         self.origin = np.asarray(origin, float)
         self.travel = travel
-        self.climb = 0.15 * travel if geometry == "ramp" else 0.0
+        self.climb = ramp_slope * travel if geometry == "ramp" else 0.0
         self.g_w = np.array([0.0, 0.0, -gravity])
         dt = 1.0 / imu_rate
         n = int(duration * imu_rate) + 3
@@ -173,7 +174,7 @@ class SyntheticSequence:
             # ceiling parallel to it 4 m above: n.p + off = 0 form below
             w = half / 2.0
             normals = np.array(
-                [[0, 1, 0], [0, -1, 0], [-0.15, 0, 1], [0.15, 0, -1]], float
+                [[0, 1, 0], [0, -1, 0], [-ramp_slope, 0, 1], [ramp_slope, 0, -1]], float
             )
             offsets = np.array([w, w, 1.0, 3.0])
             cyl_radius = None
@@ -186,8 +187,8 @@ class SyntheticSequence:
                               int((total + 2 * half) / pillar_spacing) + 2)
                 xc = k * pillar_spacing
                 yc = np.where(k % 2 == 0, w - 0.4, -(w - 0.4))
-                zlo = 0.15 * xc - 1.2
-                zhi = 0.15 * xc + 3.2
+                zlo = ramp_slope * xc - 1.2
+                zhi = ramp_slope * xc + 3.2
                 a = 0.3  # half-extents
                 boxes = np.stack(
                     [xc - a, xc + a, yc - a, yc + a, zlo, zhi], axis=1
@@ -248,7 +249,7 @@ class SyntheticSequence:
                         tk = (k * D - px) / dx
                     yk = p_l[:, 1] + tk * d_w[:, 1]
                     zk = p_l[:, 2] + tk * d_w[:, 2]
-                    zrel = zk - (0.15 * k * D - 1.0)
+                    zrel = zk - (ramp_slope * k * D - 1.0)
                     through = (np.abs(yk) <= 2.0) & (zrel >= 0.05) & (zrel <= 2.8)
                     solid = np.isfinite(tk) & (tk > 1e-6) & ~through & ~hit_found
                     t_door = np.where(solid, tk, t_door)

@@ -49,8 +49,11 @@ def fit_correction_spline(sample: SampleStates) -> jnp.ndarray:
     p = jnp.concatenate([sample.rot_cor, sample.pos_cor], axis=1)
     p = jnp.where((rows < n)[:, None], p, 0.0)
 
-    ntn = nmat.T @ nmat
-    ntp = nmat.T @ p
+    # true-f32 matmuls: TPU defaults to one-pass bf16, and this fit feeds the
+    # per-sweep attitude update — bf16 noise here compounds across sweeps
+    hp = jax.lax.Precision.HIGHEST
+    ntn = jnp.matmul(nmat.T, nmat, precision=hp)
+    ntp = jnp.matmul(nmat.T, p, precision=hp)
     return jnp.linalg.solve(ntn, ntp)
 
 
@@ -138,7 +141,11 @@ def attach_surfel_poses(
     center_b = lie.quat_rotate(rinv, center_w - pos)
     norm_b = lie.quat_rotate(rinv, norm_w)
     rmat_inv = lie.quat_to_matrix(rinv)
-    cov_b = rmat_inv @ cov_w @ jnp.swapaxes(rmat_inv, -1, -2)
+    # true f32: bf16-default batched matmuls would put ~0.4% noise on the
+    # covariances that drive the plane fits and joint normals
+    hp = jax.lax.Precision.HIGHEST
+    cov_b = jnp.matmul(jnp.matmul(rmat_inv, cov_w, precision=hp),
+                       jnp.swapaxes(rmat_inv, -1, -2), precision=hp)
     return Surfels(
         t=t,
         center=center_b,

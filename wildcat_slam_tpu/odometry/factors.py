@@ -193,9 +193,13 @@ def surfel_residuals(fac: SurfelFactors, cor: jnp.ndarray, with_jac: bool = True
     correction interpolation through the MXU instead of row gathers.
     """
     if w_interp is not None:
+        # HIGHEST precision: TPU f32 matmuls default to one-pass bf16
+        # multiplications; this contraction replaces an exact gather+lerp and
+        # feeds residuals directly, so it must be true f32
         w1, w2 = w_interp
-        c1 = w1 @ cor
-        c2 = w2 @ cor
+        hp = jax.lax.Precision.HIGHEST
+        c1 = jnp.matmul(w1, cor, precision=hp)
+        c2 = jnp.matmul(w2, cor, precision=hp)
     else:
         c1 = _interp_cor(cor, fac.i1l, fac.i1r, fac.f1)
         c2 = _interp_cor(cor, fac.i2l, fac.i2r, fac.f2)

@@ -28,6 +28,7 @@ the fall-through the sequential loop produces. Pairs are emitted time-ordered
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -57,14 +58,26 @@ def knn_search(
     knn_surfel_matcher.cc:61-66), and the downstream Cauchy-robust factors are
     insensitive to an occasional rank-swapped neighbour."""
     dtype = cq.dtype
-    dq = jnp.concatenate([cq / center_dist, nq / angular_dist], axis=1)
-    dt_ = jnp.concatenate([ct / center_dist, nt / angular_dist], axis=1)
+    # re-center about the valid-query centroid: the expand-the-square distance
+    # below cancels catastrophically in f32 once |c|^2 dwarfs the separations
+    # (at 450 m from the world origin the noise reaches the real inter-surfel
+    # descriptor distances, scrambling the ranking); distances are translation-
+    # invariant, so subtract a common offset first
+    wsum = jnp.maximum(jnp.sum(vq.astype(dtype)), 1.0)
+    c0 = jnp.sum(jnp.where(vq[:, None], cq, 0.0), axis=0) / wsum
+    dq = jnp.concatenate([(cq - c0) / center_dist, nq / angular_dist], axis=1)
+    dt_ = jnp.concatenate([(ct - c0) / center_dist, nt / angular_dist], axis=1)
     far = jnp.asarray(1e6, dtype)
     dt_ = jnp.where(vt[:, None], dt_, far)
     dq = jnp.where(vq[:, None], dq, -far)
+    # true-f32 Gram: TPU matmuls default to one-pass bf16, whose ~0.4% noise
+    # on d^2 reorders near-equal neighbours — the candidate sets then differ
+    # structurally from the exact ranking (measured 70% pair-set divergence
+    # CPU vs TPU on corridor scenes); the contraction depth is only 6, so
+    # HIGHEST costs nothing
     d2 = (
         jnp.sum(dq * dq, axis=1)[:, None]
-        - 2.0 * dq @ dt_.T
+        - 2.0 * jnp.matmul(dq, dt_.T, precision=jax.lax.Precision.HIGHEST)
         + jnp.sum(dt_ * dt_, axis=1)[None, :]
     )
     if approx:
@@ -120,14 +133,16 @@ def match_surfels(
     cand_n = g[..., 4:7]
     cand_v = g[..., 7] > 0.5
     dt_abs = jnp.abs(cand_t - tq[:, None])
+    # angular gate in cosine space: arccos(f32) near 1 loses ~half its
+    # precision (and TPU transcendentals differ from CPU's); the comparison
+    # cos(ang) >= cos(thr) is exact and monotone-equivalent
     cosang = jnp.clip(jnp.sum(nq[:, None, :] * cand_n, axis=-1), -1.0, 1.0)
-    ang = jnp.arccos(cosang)
     pp = jnp.abs(jnp.sum(nq[:, None, :] * (cq[:, None, :] - cand_c), axis=-1))
     ok = (
         cand_v
         & vq[:, None]
         & (dt_abs >= time_diff)
-        & (ang <= angular_dist)
+        & (cosang >= jnp.cos(jnp.asarray(angular_dist, dtype)))
         & (pp <= surfel_dist)
     )
 

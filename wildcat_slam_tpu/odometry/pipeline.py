@@ -109,8 +109,10 @@ def process_sweep(
     pred_pos = sample.pos[sample.count - 1]  # predicted back pose (diagnostic)
 
     # 3. undistort sweep (cc:518-520)
+    import os
+    _sorted_ud = not os.environ.get("WC_NO_SORTED_UNDISTORT")
     pts_valid = jnp.arange(pts.shape[0]) < pts_n
-    pts_world = imu_mod.undistort_points(imu, pts_t, pts, sorted_t=True)
+    pts_world = imu_mod.undistort_points(imu, pts_t, pts, sorted_t=_sorted_ud)
 
     # 4. surfel extraction + pose attachment (cc:522-527)
     sweep_surf = extract_surfels(pts_world, pts_t, pts_valid, cfg)

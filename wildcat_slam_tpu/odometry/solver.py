@@ -56,13 +56,14 @@ def _imu_banded_normal_eqs(jac, idx, ri, s_cap):
         axis=2,
     )                                               # (Mi, 12, 36)
 
-    hb = jnp.einsum("mri,mrj->mij", band, band)     # (Mi, 36, 36)
-    gb = jnp.einsum("mri,mr->mi", band, ri)         # (Mi, 36)
+    hp = jax.lax.Precision.HIGHEST  # true f32: TPU einsum defaults to bf16
+    hb = jnp.einsum("mri,mrj->mij", band, band, precision=hp)   # (Mi, 36, 36)
+    gb = jnp.einsum("mri,mr->mi", band, ri, precision=hp)       # (Mi, 36)
     # per-base accumulation as a one-hot contraction (MXU) rather than a
     # duplicate-index scatter-add (serialized on TPU)
     oh = (base[:, None] == jnp.arange(s_cap)[None, :]).astype(dtype)  # (Mi, S)
-    hseg = jnp.einsum("ms,mij->sij", oh, hb)        # (S, 36, 36)
-    gseg = jnp.einsum("ms,mi->si", oh, gb)          # (S, 36)
+    hseg = jnp.einsum("ms,mij->sij", oh, hb, precision=hp)     # (S, 36, 36)
+    gseg = jnp.einsum("ms,mi->si", oh, gb, precision=hp)        # (S, 36)
 
     # place the 3x3 block grid of each band at (b+di, b+dj): nine scatters at
     # provably unique+sorted positions into a padded buffer (fast path), then
@@ -197,18 +198,21 @@ def solve_window(
         j1v = jac_s[:, 0] + jac_s[:, 1]
         j2v = jac_s[:, 2] + jac_s[:, 3]
         w1, w2 = w_interp
-        js = (jnp.einsum("ms,mj->msj", w1, j1v)
-              + jnp.einsum("ms,mj->msj", w2, j2v)).reshape(jac_s.shape[0], s_cap * 12)
+        hp = jax.lax.Precision.HIGHEST  # true f32 (TPU einsum defaults to bf16)
+        js = (jnp.einsum("ms,mj->msj", w1, j1v, precision=hp)
+              + jnp.einsum("ms,mj->msj", w2, j2v, precision=hp)
+              ).reshape(jac_s.shape[0], s_cap * 12)
         js = js * sw[:, None]
         rs_w = rs * sw
         hi, gi = _imu_banded_normal_eqs(jac_i, idx_i, ri, s_cap)
 
-        # Gram matrix on the MXU in bf16 with f32 accumulation: 2x the f32
-        # throughput; the ~0.3% element error only perturbs the quadratic
-        # model (step quality), never the cost/acceptance, which stay f32.
-        jb = js.astype(jnp.bfloat16)
-        h = jnp.dot(jb.T, jb, preferred_element_type=jnp.float32) + hi
-        g = js.T @ rs_w + gi
+        # H and g in true f32. A bf16 Gram was measured 2x faster, but bf16
+        # element noise (~0.4%) floods the weak-mode curvature of
+        # ill-conditioned windows (corridor geometries: weak direction ~1e-6
+        # of the strong ones) and destabilizes the whole filter — see
+        # MEASUREMENTS.md round 2 "corridor divergence root cause".
+        h = jnp.dot(js.T, js, precision=hp, preferred_element_type=jnp.float32) + hi
+        g = jnp.matmul(js.T, rs_w, precision=hp) + gi
 
         # gauge/padding masking -> identity rows/cols, zero gradient
         fm = free.astype(dtype)

@@ -173,4 +173,6 @@ class Surfels:
 
     def cov_world(self) -> jnp.ndarray:
         r = lie.quat_to_matrix(self.rot)
-        return r @ self.cov @ jnp.swapaxes(r, -1, -2)
+        hp = jax.lax.Precision.HIGHEST  # true f32 (TPU matmul defaults to bf16)
+        return jnp.matmul(jnp.matmul(r, self.cov, precision=hp),
+                          jnp.swapaxes(r, -1, -2), precision=hp)

@@ -17,6 +17,7 @@ sizes used by the odometry pipeline it constant-folds under jit.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # Uniform cubic B-spline basis matrix (spline_interpolation.h:83).
@@ -95,8 +96,9 @@ def fit_control_points(points: jnp.ndarray) -> jnp.ndarray:
     """
     n = points.shape[0]
     N = bspline_basis_matrix(n, dtype=points.dtype)
-    NtN = N.T @ N
-    Ntp = N.T @ points
+    hp = jax.lax.Precision.HIGHEST  # true f32 (TPU matmul defaults to bf16)
+    NtN = jnp.matmul(N.T, N, precision=hp)
+    Ntp = jnp.matmul(N.T, points, precision=hp)
     return jnp.linalg.solve(NtN, Ntp)
 
 
