@@ -19,9 +19,14 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Uniform cubic B-spline basis matrix (spline_interpolation.h:83).
-_M = jnp.asarray(
+# Kept as a host numpy constant on purpose: a module-level jnp.asarray would
+# eagerly initialise the JAX backend at import time, which breaks importing
+# this package in a process whose default backend is unusable (the driver's
+# multichip dry run imports us before pinning a CPU subprocess).
+_M = np.asarray(
     [
         [-1.0, 3.0, -3.0, 1.0],
         [3.0, -6.0, 3.0, 0.0],
