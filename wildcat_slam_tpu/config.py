@@ -93,11 +93,13 @@ class WildcatConfig:
     max_leaves_per_sweep: int = 16384
 
     # ----- Solver details (TPU Gauss-Newton replacing Ceres LM) -----
-    gn_max_iterations: int = 100
+    # (the LM damping schedule is Nielsen's gain-ratio rule, which has no
+    # up/down factors — only the initial lambda is tunable)
     gn_initial_lambda: float = 1e-4
-    gn_lambda_up: float = 4.0
-    gn_lambda_down: float = 2.0
-    gn_min_relative_decrease: float = 1e-3
+    # sorted-stamp undistortion fast path (tick-diff scatter + running sum);
+    # False selects the per-point gather path — a config field, not an env var,
+    # so the A/B toggle participates in the jit cache key
+    sorted_undistort: bool = True
     # measured on synthetic 8 s sequences: 1e-3 converges in ~4 LM iterations
     # with equal-or-better ATE than 1e-6 (which averages ~17) — the late
     # iterations chase sensor noise (Ceres' default 1e-6 is tuned for generic

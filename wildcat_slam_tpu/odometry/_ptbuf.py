@@ -84,7 +84,7 @@ class ChunkedPointBuffer:
             pc = self._p_chunks[j]
             if j == k:
                 tc, pc = tc[:part], pc[:part]
-            take = min(len(tc), cap - m)
+            take = max(0, min(len(tc), cap - m))
             if take:
                 out_t[m : m + take] = (tc[:take] - epoch).astype(np.float32)
                 out_xyz[m : m + take] = pc[:take].astype(np.float32)

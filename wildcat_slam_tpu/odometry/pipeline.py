@@ -109,10 +109,8 @@ def process_sweep(
     pred_pos = sample.pos[sample.count - 1]  # predicted back pose (diagnostic)
 
     # 3. undistort sweep (cc:518-520)
-    import os
-    _sorted_ud = not os.environ.get("WC_NO_SORTED_UNDISTORT")
     pts_valid = jnp.arange(pts.shape[0]) < pts_n
-    pts_world = imu_mod.undistort_points(imu, pts_t, pts, sorted_t=_sorted_ud)
+    pts_world = imu_mod.undistort_points(imu, pts_t, pts, sorted_t=cfg.sorted_undistort)
 
     # 4. surfel extraction + pose attachment (cc:522-527)
     sweep_surf = extract_surfels(pts_world, pts_t, pts_valid, cfg)
@@ -167,8 +165,7 @@ def process_sweep(
         sample, sstats = solve_window(
             sample, sfac, ifac, weights, cfg.imu_dt, sample.grav, fix_first_pos,
             cauchy_scale=cfg.cauchy_loss_scale, max_iterations=cfg.inner_iter_num_max,
-            init_lambda=cfg.gn_initial_lambda, lambda_up=cfg.gn_lambda_up,
-            lambda_down=cfg.gn_lambda_down, function_tolerance=cfg.gn_function_tolerance,
+            init_lambda=cfg.gn_initial_lambda, function_tolerance=cfg.gn_function_tolerance,
             linear_solver=cfg.linear_solver, pcg_iters=cfg.pcg_iters, pcg_tol=cfg.pcg_tol,
         )
         if cfg.debug_residuals:

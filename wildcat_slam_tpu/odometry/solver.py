@@ -112,7 +112,10 @@ def _pcg_solve(h: jnp.ndarray, b: jnp.ndarray, s_cap: int, iters: int, tol: floa
 
     def body(state):
         x, r, p, rz, k = state
-        hp = h @ p
+        # true-f32 matvec: the TPU f32 dot default is one-pass bf16, whose
+        # ~0.4% noise perturbs every CG iterate exactly when curvature is
+        # weakest (see MEASUREMENTS.md round 2, corridor divergence)
+        hp = jnp.matmul(h, p, precision=jax.lax.Precision.HIGHEST)
         alpha = rz / jnp.maximum(jnp.sum(p * hp), jnp.finfo(h.dtype).tiny)
         x = x + alpha * p
         r = r - alpha * hp
@@ -143,8 +146,6 @@ def solve_window(
     cauchy_scale: float = 0.4,
     max_iterations: int = 100,
     init_lambda: float = 1e-4,
-    lambda_up: float = 4.0,
-    lambda_down: float = 2.0,
     function_tolerance: float = 1e-6,
     linear_solver: str = "pcg",
     pcg_iters: int = 96,
@@ -175,7 +176,7 @@ def solve_window(
     use_fused_pcg = (
         linear_solver == "pcg"
         and dtype == jnp.float32
-        and jax.devices()[0].platform not in ("cpu", "gpu")
+        and jax.devices()[0].platform == "tpu"
     )
 
     def eval_cost(cor_flat):

@@ -42,6 +42,7 @@ import jax.numpy as jnp
 
 from wildcat_slam_tpu.config import WildcatConfig
 from wildcat_slam_tpu.ops import voxel
+from wildcat_slam_tpu.ops.dfsum import df_prefix, df_range_sum
 from wildcat_slam_tpu.ops.eigh3 import eigh3
 
 def _unpack_sym(m6: jnp.ndarray) -> jnp.ndarray:
@@ -131,7 +132,12 @@ def extract_surfels(
                         q[:, 0] * q[:, 1], q[:, 0] * q[:, 2], q[:, 1] * q[:, 2]], axis=1)
         tw = jnp.where(valid_s, t_s, 0.0).astype(dtype)
         chan = jnp.concatenate([w[:, None], q, qq, tw[:, None]], axis=1)
-        cumz = jnp.concatenate([jnp.zeros((1, 11), dtype), jnp.cumsum(chan, axis=0)])
+        # Double-float prefix: a plain f32 cumsum stores each prefix rounded to
+        # eps * |global total| (~1e-3 on the qq channels at 64k points), which a
+        # small late segment inherits wholesale — right on top of the smallest
+        # eigenvalue the plane gate reads. The (hi, lo) pair confines range-sum
+        # rounding to eps * |segment| (see ops/dfsum.py).
+        cumz_hi, cumz_lo = df_prefix(chan, axis=0)
 
         # compact segment start positions: slot j in [0, v_cap); slot v_cap
         # doubles as the open-ended sentinel. Segments beyond v_cap are
@@ -139,7 +145,7 @@ def extract_surfels(
         idx = jnp.where(is_start, seg_id, v_cap + 1)
         start_arr = jnp.full((v_cap + 1,), p_cap, jnp.int32).at[idx].set(
             arange_p, mode="drop", unique_indices=True, indices_are_sorted=True)
-        sums = cumz[start_arr[1:]] - cumz[start_arr[:-1]]  # (V, 11)
+        sums = df_range_sum(cumz_hi, cumz_lo, start_arr[:-1], start_arr[1:])  # (V, 11)
         n_seg = sums[:, 0]
         s1 = sums[:, 1:4]
         s2 = _unpack_sym(sums[:, 4:10])
@@ -156,7 +162,8 @@ def extract_surfels(
 
         per_level.append(dict(
             perm=perm, is_start=is_start, seg_id=seg_id, start_arr=start_arr,
-            t_s=t_s, valid_s=valid_s, cell_s=cell_s, cumz=cumz,
+            t_s=t_s, valid_s=valid_s, cell_s=cell_s,
+            cumz_hi=cumz_hi, cumz_lo=cumz_lo,
             n=n_seg, plane=node_plane, big=node_big, size=size,
         ))
 
@@ -209,7 +216,7 @@ def extract_surfels(
         seg_of = lv["seg_id"][first]
         seg_end = lv["start_arr"][jnp.clip(seg_of + 1, 0, v_cap)]
         cl_end = jnp.maximum(jnp.minimum(cl_start[1:], seg_end), cl_start[:nc])
-        sums = lv["cumz"][cl_end] - lv["cumz"][cl_start[:nc]]  # (NC, 11)
+        sums = df_range_sum(lv["cumz_hi"], lv["cumz_lo"], cl_start[:nc], cl_end)  # (NC, 11)
         n_cl = sums[:, 0]
         s1 = sums[:, 1:4]
         s2 = _unpack_sym(sums[:, 4:10])

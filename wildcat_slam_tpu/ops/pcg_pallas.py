@@ -38,7 +38,11 @@ def _pcg_kernel(iters: int, tol: float, s_cap: int, h_ref, dlam_ref, minv_ref,
     tiny = jnp.asarray(1e-30, f32)
 
     def mv(p):
-        return jnp.dot(h, p, preferred_element_type=f32) + dlam * p
+        # precision=HIGHEST: the MXU f32 dot defaults to one-pass bf16, whose
+        # element noise perturbs every CG iterate on ill-conditioned windows
+        # (same hazard as solver.py's H Gram — MEASUREMENTS.md round 2)
+        return jnp.dot(h, p, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=f32) + dlam * p
 
     def prec(r):
         # block-Jacobi apply without materializing the dense block diagonal
