@@ -92,22 +92,34 @@ class TestCrossMatch:
 
 
 class TestSelfMatch:
-    def test_high_overlap_with_oracle(self):
-        # round-parallel acceptance can differ from strict sequential order in
-        # rare dedup chains; demand high overlap and equal pair validity
-        total_got = total_ref = total_common = 0
-        for seed in range(5):
+    def test_exact_vs_oracle(self):
+        # the fixed-point matcher solves the sequential recurrence exactly
+        # (match.py module doc) — the pair set must EQUAL the literal
+        # sequential oracle, every seed
+        total_ref = 0
+        for seed in range(10):
             c, n, t, _ = make_surfels(100, seed + 10)
             got = run_module(c, n, t, c, n, t, self_match=True)
             ref = oracle_match(c, n, t, c, n, t, self_match=True)
             gs = {tuple(sorted(p)) for p in got}
             rs = {tuple(sorted(p)) for p in ref}
             assert len(gs) == len(got), "duplicate unordered pair emitted"
-            total_got += len(gs)
+            assert gs == rs, (
+                f"seed {seed}: {len(gs & rs)} common, "
+                f"module-only {sorted(gs - rs)}, oracle-only {sorted(rs - gs)}")
             total_ref += len(rs)
-            total_common += len(gs & rs)
-        assert total_ref > 20
-        assert total_common / max(total_ref, 1) > 0.9, (total_common, total_ref, total_got)
+        assert total_ref > 40  # the scenes actually exercise matching
+
+    def test_exact_vs_oracle_dense_dedup_chains(self):
+        # few planes + many surfels -> long dedup chains (the regime where the
+        # old round-parallel scheme diverged)
+        for seed in range(4):
+            c, n, t, _ = make_surfels(200, seed + 90, spread=1.5)
+            got = run_module(c, n, t, c, n, t, self_match=True)
+            ref = oracle_match(c, n, t, c, n, t, self_match=True)
+            gs = {tuple(sorted(p)) for p in got}
+            rs = {tuple(sorted(p)) for p in ref}
+            assert gs == rs, f"seed {seed}: {len(gs ^ rs)} mismatched pairs"
 
     def test_filters_respected(self):
         c, n, t, _ = make_surfels(100, 3)

@@ -121,3 +121,39 @@ class TestPipelineVsOracle:
         # measured: traj-delta 4.17 mm, ATE 11.97 (product) vs 11.51 (oracle) mm
         assert delta < 0.012
         assert ate_p < ate_o + 0.005
+
+    @pytest.mark.full
+    def test_long_sequence_past_window_shrink(self):
+        # >= 8 s: crosses the 6 s sliding-window shrink AND the first
+        # eviction->fixed-window migration + fixed-window cross-matching, so
+        # drift accumulation past the first trim is exercised, not just the
+        # growing-window transient
+        seq = SyntheticSequence(duration=8.5, points_per_scan=2500, room_half=4.0, seed=1)
+        # steady-state window spans need near-default capacities: the IMU
+        # window holds (sliding + sweep) * rate ~ 1300 states, samples ~ 82
+        delta, ate_o, ate_p = _compare(seq, _cfg(
+            max_surfels_fixed=4096, max_imu_states=1536, max_sample_states=96))
+        print(f"long: traj-delta {delta*1000:.3f} mm, ATE oracle "
+              f"{ate_o*1000:.3f} mm, ATE product {ate_p*1000:.3f} mm")
+        # measured (this round): traj-delta 2.91 mm, ATE 7.97 (product) vs
+        # 8.02 (oracle) mm over 16 sweeps; bounds ~1.5x measured
+        assert delta < 0.0045
+        assert ate_p < ate_o + 0.002
+
+    @pytest.mark.full
+    def test_doored_corridor_regime(self):
+        # the regime that exposed the round-2 bf16 matmul hazard: weak
+        # translational observability along the corridor, restored only by
+        # doorway bulkheads — oracle agreement here is the strongest
+        # regression guard for estimator-critical precision
+        seq = SyntheticSequence(
+            duration=8.5, points_per_scan=2500, room_half=8.0, seed=0,
+            geometry="ramp", door_spacing=10.0)
+        delta, ate_o, ate_p = _compare(seq, _cfg(
+            max_surfels_fixed=4096, max_imu_states=1536, max_sample_states=96))
+        print(f"corridor: traj-delta {delta*1000:.3f} mm, ATE oracle "
+              f"{ate_o*1000:.3f} mm, ATE product {ate_p*1000:.3f} mm")
+        # measured (this round): traj-delta 12.03 mm, ATE 31.81 (product) vs
+        # 34.38 (oracle) mm over 16 sweeps; bounds ~1.5x measured
+        assert delta < 0.018
+        assert ate_p < ate_o + 0.01

@@ -117,3 +117,84 @@ class TestEndToEndBag:
         assert lo.sweep_id >= 3
         err = ate_rmse(lo.trajectory, lambda t: seq.gt_pose(np.asarray(t) - base)[0], align=False)
         assert err < 0.02, err
+
+
+class TestHostileInput:
+    """Edge cases a real-world bag can throw at the streaming reader."""
+
+    def test_writer_bz2_multichunk(self, tmp_path):
+        evs = _events(n_imu=30, n_scans=2)
+        path = str(tmp_path / "c.bag")
+        rosbag.write_bag(path, evs, compression="bz2", messages_per_chunk=7)
+        got = list(rosbag.read_bag(path))
+        assert len(got) == len(evs)
+        scans = [e for e in got if e[0] == "scan"]
+        np.testing.assert_allclose(scans[0][1], evs[30][1], atol=1e-9)
+
+    def test_permuted_fields_with_unknown_extras(self, tmp_path):
+        evs = _events(n_imu=5, n_scans=2)
+        path = str(tmp_path / "p.bag")
+        rosbag.write_bag(path, evs, layout="permuted")
+        got = [e for e in rosbag.read_bag(path) if e[0] == "scan"]
+        ref = [e for e in evs if e[0] == "scan"]
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(g[1], r[1], atol=1e-9)
+            np.testing.assert_allclose(g[2], r[2], atol=1e-6)
+
+    def test_relative_f32_time_field(self, tmp_path):
+        evs = _events(n_imu=5, n_scans=2)
+        path = str(tmp_path / "r.bag")
+        rosbag.write_bag(path, evs, layout="relative_f32")
+        got = [e for e in rosbag.read_bag(path) if e[0] == "scan"]
+        ref = [e for e in evs if e[0] == "scan"]
+        for r, g in zip(ref, got):
+            # relative f32 offsets from the header stamp: ~us quantization
+            np.testing.assert_allclose(g[1], r[1], atol=1e-4)
+            np.testing.assert_allclose(g[2], r[2], atol=1e-6)
+
+    def test_truncated_bag_yields_prefix_then_raises(self, tmp_path):
+        evs = _events(n_imu=30, n_scans=2)
+        path = str(tmp_path / "full.bag")
+        rosbag.write_bag(path, evs, messages_per_chunk=8)
+        blob = open(path, "rb").read()
+        cut = str(tmp_path / "cut.bag")
+        open(cut, "wb").write(blob[: int(len(blob) * 0.6)])
+        got = []
+        with pytest.raises(ValueError, match="truncated"):
+            for ev in rosbag.read_bag(cut):
+                got.append(ev)
+        assert 0 < len(got) < len(evs)  # complete chunks still delivered
+
+    def test_streaming_does_not_slurp(self, tmp_path, monkeypatch):
+        # the reader must never call f.read() with no size (whole-file slurp)
+        evs = _events(n_imu=20, n_scans=2)
+        path = str(tmp_path / "s.bag")
+        rosbag.write_bag(path, evs, messages_per_chunk=5)
+        import builtins
+        real_open = builtins.open
+        max_read = 0
+
+        class Guard:
+            def __init__(self, f):
+                self._f = f
+            def read(self, n=None):
+                nonlocal max_read
+                assert n is not None, "unbounded read() — reader must stream"
+                max_read = max(max_read, n)
+                return self._f.read(n)
+            def __getattr__(self, a):
+                return getattr(self._f, a)
+            def __enter__(self):
+                return self
+            def __exit__(self, *a):
+                return self._f.__exit__(*a)
+
+        def guarded_open(p, *a, **k):
+            f = real_open(p, *a, **k)
+            return Guard(f) if str(p).endswith(".bag") else f
+
+        monkeypatch.setattr(builtins, "open", guarded_open)
+        got = list(rosbag.read_bag(path))
+        assert len(got) == len(evs)
+        import os
+        assert max_read < os.path.getsize(path)  # no read covers the whole file

@@ -45,6 +45,14 @@ def main(argv=None) -> int:
                          "PLYs next to --surfels-out and a rewritten --traj-out "
                          "(the live-viewer analog of the reference's per-sweep "
                          "rviz publishing)")
+    ap.add_argument("--viewer-port", type=int, default=None, metavar="PORT",
+                    help="serve a live in-browser 3D viewer on this port "
+                         "(trajectory + surfel ellipsoids, viz/live.py; "
+                         "0 picks a free port). Watchable during --stream or "
+                         "offline replay — the rviz-channel equivalent")
+    ap.add_argument("--viewer-surfels-every", type=int, default=5, metavar="N",
+                    help="refresh the viewer's surfel layer every N sweeps "
+                         "(pose/trajectory refresh every sweep)")
     ap.add_argument("--imu-rate", type=float, default=200.0)
     ap.add_argument("--traj-out", default=None, help="write trajectory (TUM format)")
     ap.add_argument("--surfels-out", default=None, help="write final sliding-window surfels (PLY)")
@@ -144,6 +152,13 @@ def main(argv=None) -> int:
         print(f"warmup: per-sweep program compiled in {time.perf_counter()-t_w:.1f}s",
               file=sys.stderr)
 
+    viewer = None
+    if args.viewer_port is not None:
+        from wildcat_slam_tpu.viz.live import LiveViewer
+
+        viewer = LiveViewer(args.viewer_port)
+        print(f"live viewer: http://localhost:{viewer.port}/", file=sys.stderr)
+
     sweeps0 = lo.sweep_id  # nonzero when resuming; counters below are per-run
     latencies = []  # stream mode: scan-receipt -> pose-available, per sweep
 
@@ -175,6 +190,13 @@ def main(argv=None) -> int:
                 if (args.snapshot_every and lo.sweep_id > before
                         and lo.sweep_id % args.snapshot_every == 0):
                     snapshot()
+                if viewer is not None and lo.sweep_id > before:
+                    back_t, pos, _quat = lo.trajectory[-1]
+                    surf = None
+                    if lo.sweep_id % max(args.viewer_surfels_every, 1) == 0:
+                        from wildcat_slam_tpu.viz.surfel_export import surfel_ellipsoids
+                        surf = surfel_ellipsoids(lo.state.sld)
+                    viewer.update(lo.sweep_id, float(back_t), pos, surf)
                 if args.residual_hist and lo.sweep_id > before and lo.residuals:
                     from wildcat_slam_tpu.utils.histogram import residual_report
                     r = lo.residuals[-1]

@@ -137,6 +137,21 @@ def _parse_pointcloud2(data: bytes):
     return times[order], xyz[order]
 
 
+def _decompress_chunk(header: dict, data: bytes) -> bytes:
+    compression = header.get("compression", b"none").decode()
+    if compression == "none":
+        return data
+    if compression == "bz2":
+        return bz2.decompress(data)
+    if compression == "lz4":
+        try:
+            import lz4.frame
+        except ImportError as e:
+            raise ImportError("bag uses lz4 chunks; optional lz4 package required") from e
+        return lz4.frame.decompress(data)
+    raise ValueError(f"unknown chunk compression {compression!r}")
+
+
 def read_bag(
     path: str,
     imu_topic: Optional[str] = None,
@@ -145,52 +160,84 @@ def read_bag(
     """Yield ("imu", t, acc, gyr) and ("scan", times, points_lidar) events in
     file order (rosbag chunks are time-ordered in practice, matching the
     reference's rosbag::View iteration). Topics default to any connection of
-    the matching message type."""
+    the matching message type.
+
+    Streaming: records are read one at a time and only one (decompressed)
+    chunk is resident at once, so multi-GB bags never get slurped into memory;
+    index/chunk-info records at the tail are seeked over without reading.
+    Truncated files raise ValueError at the cut, after yielding every complete
+    message before it.
+    """
+
+    def handle_message(h, d):
+        conn = struct.unpack("<I", h["conn"])[0]
+        topic, mtype = connections.get(conn, ("", ""))
+        if mtype == "sensor_msgs/Imu" and (imu_topic is None or topic == imu_topic):
+            return ("imu", *_parse_imu(d))
+        if mtype == "sensor_msgs/PointCloud2" and (
+            lidar_topic is None or topic == lidar_topic
+        ):
+            return ("scan", *_parse_pointcloud2(d))
+        return None
+
+    def handle_connection(h, d):
+        conn = struct.unpack("<I", h["conn"])[0]
+        chdr = _parse_header(d)
+        connections[conn] = (h.get("topic", b"").decode(),
+                             chdr.get("type", b"").decode())
+
+    import os
+
+    connections = {}  # conn id -> (topic, type)
     with open(path, "rb") as f:
+        size = os.fstat(f.fileno()).st_size
         magic = f.readline()
         if not magic.startswith(b"#ROSBAG V2.0"):
             raise ValueError(f"{path}: not a ROS1 bag v2.0 (got {magic[:20]!r})")
-        blob = f.read()
-
-    connections = {}  # conn id -> (topic, type)
-    for header, data in _records(blob):
-        op = header.get("op", b"\x00")[0]
-        if op == _OP_CONNECTION:
-            conn = struct.unpack("<I", header["conn"])[0]
-            chdr = _parse_header(data)
-            topic = header.get("topic", b"").decode()
-            mtype = chdr.get("type", b"").decode()
-            connections[conn] = (topic, mtype)
-        elif op == _OP_CHUNK:
-            compression = header.get("compression", b"none").decode()
-            if compression == "none":
-                chunk = data
-            elif compression == "bz2":
-                chunk = bz2.decompress(data)
-            elif compression == "lz4":
-                try:
-                    import lz4.frame
-                except ImportError as e:
-                    raise ImportError("bag uses lz4 chunks; optional lz4 package required") from e
-                chunk = lz4.frame.decompress(data)
+        while True:
+            pos = f.tell()
+            lb = f.read(4)
+            if not lb:
+                return  # clean EOF
+            if len(lb) < 4:
+                raise ValueError(f"{path}: truncated record length at offset {pos}")
+            (hlen,) = struct.unpack("<I", lb)
+            hbuf = f.read(hlen)
+            lb2 = f.read(4)
+            if len(hbuf) < hlen or len(lb2) < 4:
+                raise ValueError(f"{path}: truncated record header at offset {pos}")
+            header = _parse_header(hbuf)
+            (dlen,) = struct.unpack("<I", lb2)
+            op = header.get("op", b"\x00")[0]
+            if op == _OP_CONNECTION:
+                data = f.read(dlen)
+                if len(data) < dlen:
+                    raise ValueError(f"{path}: truncated connection record at offset {pos}")
+                handle_connection(header, data)
+            elif op == _OP_CHUNK:
+                data = f.read(dlen)
+                if len(data) < dlen:
+                    raise ValueError(f"{path}: truncated chunk at offset {pos}")
+                for h2, d2 in _records(_decompress_chunk(header, data)):
+                    op2 = h2.get("op", b"\x00")[0]
+                    if op2 == _OP_CONNECTION:
+                        handle_connection(h2, d2)
+                    elif op2 == _OP_MESSAGE:
+                        ev = handle_message(h2, d2)
+                        if ev is not None:
+                            yield ev
+            elif op == _OP_MESSAGE:  # unchunked message (legal, rare)
+                data = f.read(dlen)
+                if len(data) < dlen:
+                    raise ValueError(f"{path}: truncated message at offset {pos}")
+                ev = handle_message(header, data)
+                if ev is not None:
+                    yield ev
             else:
-                raise ValueError(f"unknown chunk compression {compression!r}")
-            for h2, d2 in _records(chunk):
-                op2 = h2.get("op", b"\x00")[0]
-                if op2 == _OP_CONNECTION:
-                    conn = struct.unpack("<I", h2["conn"])[0]
-                    chdr = _parse_header(d2)
-                    connections[conn] = (h2.get("topic", b"").decode(),
-                                         chdr.get("type", b"").decode())
-                elif op2 == _OP_MESSAGE:
-                    conn = struct.unpack("<I", h2["conn"])[0]
-                    topic, mtype = connections.get(conn, ("", ""))
-                    if mtype == "sensor_msgs/Imu" and (imu_topic is None or topic == imu_topic):
-                        yield ("imu", *_parse_imu(d2))
-                    elif mtype == "sensor_msgs/PointCloud2" and (
-                        lidar_topic is None or topic == lidar_topic
-                    ):
-                        yield ("scan", *_parse_pointcloud2(d2))
+                # bag header / index / chunk-info: skip without reading
+                f.seek(dlen, 1)
+                if f.tell() > size:
+                    raise ValueError(f"{path}: truncated record at offset {pos}")
 
 
 def convert_bag(bag_path: str, out_dir: str, imu_topic=None, lidar_topic=None) -> dict:
@@ -243,51 +290,100 @@ def _ser_imu(t: float, acc, gyr) -> bytes:
     return out
 
 
-def _ser_pointcloud2(times: np.ndarray, pts: np.ndarray) -> bytes:
+def _ser_pointcloud2(times: np.ndarray, pts: np.ndarray, layout: str = "hilti") -> bytes:
+    """Serialize one PointCloud2. ``layout`` selects the per-point format:
+
+    - "hilti": x,y,z,intensity f32 + absolute ``time`` f64 + ring u16
+      (common.h:12-28) — the reference's format;
+    - "permuted": same fields in a scrambled declaration order with extra
+      unknown fields interleaved (field discovery must be by name);
+    - "relative_f32": per-point time as a relative f32 ``t`` field offset from
+      the header stamp (Ouster/Velodyne convention).
+    """
     n = len(times)
-    point_step = 26  # x,y,z,intensity f32 + time f64 + ring u16 (hilti layout)
-    out = struct.pack("<I", 0) + _ros_time(float(times[0]) if n else 0.0) + _ser_string("lidar")
+    stamp = float(times[0]) if n else 0.0
+    if layout == "hilti":
+        fdefs = [("x", 0, 7), ("y", 4, 7), ("z", 8, 7), ("intensity", 12, 7),
+                 ("time", 16, 8), ("ring", 24, 4)]
+        point_step = 26
+    elif layout == "permuted":
+        fdefs = [("ring", 0, 4), ("time", 2, 8), ("reflectivity", 10, 4),
+                 ("z", 12, 7), ("x", 16, 7), ("intensity", 20, 7), ("y", 24, 7),
+                 ("ambient", 28, 4)]
+        point_step = 30
+    elif layout == "relative_f32":
+        fdefs = [("x", 0, 7), ("y", 4, 7), ("z", 8, 7), ("t", 12, 7), ("ring", 16, 4)]
+        point_step = 18
+    else:
+        raise ValueError(f"unknown test layout {layout!r}")
+
+    out = struct.pack("<I", 0) + _ros_time(stamp) + _ser_string("lidar")
     out += struct.pack("<II", 1, n)
-    fdefs = [("x", 0, 7), ("y", 4, 7), ("z", 8, 7), ("intensity", 12, 7), ("time", 16, 8), ("ring", 24, 4)]
     out += struct.pack("<I", len(fdefs))
     for name, foff, code in fdefs:
         out += _ser_string(name) + struct.pack("<IBI", foff, code, 1)
     out += struct.pack("<B", 0)
     out += struct.pack("<II", point_step, point_step * n)
     raw = np.zeros((n, point_step), np.uint8)
-    raw[:, 0:12] = np.ascontiguousarray(pts.astype("<f4")).view(np.uint8).reshape(n, 12)
-    raw[:, 16:24] = np.ascontiguousarray(times.astype("<f8")).view(np.uint8).reshape(n, 8)
+    offs = {name: foff for name, foff, _ in fdefs}
+    xyz32 = np.ascontiguousarray(pts.astype("<f4")).view(np.uint8).reshape(n, 12)
+    for k, ax in enumerate("xyz"):
+        raw[:, offs[ax]:offs[ax] + 4] = xyz32[:, 4 * k:4 * k + 4]
+    if layout == "relative_f32":
+        rel = np.ascontiguousarray((times - stamp).astype("<f4")).view(np.uint8)
+        raw[:, offs["t"]:offs["t"] + 4] = rel.reshape(n, 4)
+    else:
+        t64 = np.ascontiguousarray(times.astype("<f8")).view(np.uint8).reshape(n, 8)
+        raw[:, offs["time"]:offs["time"] + 8] = t64
     out += struct.pack("<I", point_step * n) + raw.tobytes()
     out += struct.pack("<B", 1)
     return out
 
 
-def write_bag(path: str, events, imu_topic="/alphasense/imu", lidar_topic="/hesai/pandar") -> None:
-    """events: iterable of ("imu", t, acc, gyr) | ("scan", times, points)."""
+def write_bag(path: str, events, imu_topic="/alphasense/imu", lidar_topic="/hesai/pandar",
+              compression: str = "none", layout: str = "hilti",
+              messages_per_chunk: int = 0) -> None:
+    """events: iterable of ("imu", t, acc, gyr) | ("scan", times, points).
+
+    ``compression``: "none" | "bz2" per chunk. ``layout``: PointCloud2 field
+    layout (see _ser_pointcloud2). ``messages_per_chunk`` > 0 splits the stream
+    into multiple chunks of that many messages (0 = single chunk)."""
     conns = {imu_topic: (0, "sensor_msgs/Imu"), lidar_topic: (1, "sensor_msgs/PointCloud2")}
-    chunk = b""
+    conn_records = b""
     for topic, (cid, mtype) in conns.items():
         conn_hdr = _header({"topic": topic.encode(), "type": mtype.encode(),
                             "md5sum": b"0" * 32, "message_definition": b""})
-        chunk += _record({"op": bytes([_OP_CONNECTION]), "conn": struct.pack("<I", cid),
-                          "topic": topic.encode()}, conn_hdr)
+        conn_records += _record({"op": bytes([_OP_CONNECTION]), "conn": struct.pack("<I", cid),
+                                 "topic": topic.encode()}, conn_hdr)
+
+    chunks = []
+    cur = [conn_records]
+    n_in_cur = 0
     for ev in events:
         if ev[0] == "imu":
             _, t, acc, gyr = ev
-            chunk += _record({"op": bytes([_OP_MESSAGE]),
-                              "conn": struct.pack("<I", 0), "time": _ros_time(t)},
-                             _ser_imu(t, acc, gyr))
+            cur.append(_record({"op": bytes([_OP_MESSAGE]),
+                                "conn": struct.pack("<I", 0), "time": _ros_time(t)},
+                               _ser_imu(t, acc, gyr)))
         else:
             _, times, pts = ev
-            chunk += _record({"op": bytes([_OP_MESSAGE]),
-                              "conn": struct.pack("<I", 1),
-                              "time": _ros_time(float(times[0]) if len(times) else 0.0)},
-                             _ser_pointcloud2(np.asarray(times), np.asarray(pts)))
+            cur.append(_record({"op": bytes([_OP_MESSAGE]),
+                                "conn": struct.pack("<I", 1),
+                                "time": _ros_time(float(times[0]) if len(times) else 0.0)},
+                               _ser_pointcloud2(np.asarray(times), np.asarray(pts), layout)))
+        n_in_cur += 1
+        if messages_per_chunk and n_in_cur >= messages_per_chunk:
+            chunks.append(b"".join(cur))
+            cur, n_in_cur = [], 0
+    if cur:
+        chunks.append(b"".join(cur))
 
     with open(path, "wb") as f:
         f.write(b"#ROSBAG V2.0\n")
         f.write(_record({"op": bytes([_OP_BAG_HEADER]), "index_pos": struct.pack("<Q", 0),
                          "conn_count": struct.pack("<I", len(conns)),
-                         "chunk_count": struct.pack("<I", 1)}, b" " * 4096))
-        f.write(_record({"op": bytes([_OP_CHUNK]), "compression": b"none",
-                         "size": struct.pack("<I", len(chunk))}, chunk))
+                         "chunk_count": struct.pack("<I", len(chunks))}, b" " * 4096))
+        for chunk in chunks:
+            payload = bz2.compress(chunk) if compression == "bz2" else chunk
+            f.write(_record({"op": bytes([_OP_CHUNK]), "compression": compression.encode(),
+                             "size": struct.pack("<I", len(chunk))}, payload))

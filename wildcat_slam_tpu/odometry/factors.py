@@ -103,12 +103,40 @@ class SurfelFactors:
         return jnp.sum(self.valid.astype(jnp.int32))
 
 
+def pack_factor_rows(s: Surfels) -> jnp.ndarray:
+    """(K, 18) per-surfel factor constants packed into one row:
+    [t, valid, rot quat (4), center body (3), pos (3), cov_world sym6 (6)].
+
+    TPU random row gathers pay per row, not per byte, at these widths — one
+    wide (M, 18) gather per matched side replaces six narrow ones, and the
+    window's cov_world is computed once per sweep instead of once per factor
+    build (the sliding window feeds both the binary and the unary build)."""
+    cw = s.cov_world()
+    cw6 = jnp.stack([cw[:, 0, 0], cw[:, 1, 1], cw[:, 2, 2],
+                     cw[:, 0, 1], cw[:, 0, 2], cw[:, 1, 2]], axis=1)
+    return jnp.concatenate([
+        s.t[:, None], s.valid.astype(s.t.dtype)[:, None],
+        s.rot, s.center, s.pos, cw6,
+    ], axis=1)
+
+
+def _sym6_to_full(m6: jnp.ndarray) -> jnp.ndarray:
+    xx, yy, zz, xy, xz, yz = (m6[..., i] for i in range(6))
+    return jnp.stack([
+        jnp.stack([xx, xy, xz], axis=-1),
+        jnp.stack([xy, yy, yz], axis=-1),
+        jnp.stack([xz, yz, zz], axis=-1),
+    ], axis=-2)
+
+
 def build_surfel_factors(
     sq: Surfels, st_: Surfels,
     iq: jnp.ndarray, it: jnp.ndarray, pair_valid: jnp.ndarray,
     sample: SampleStates,
     sigma_floor: float,
     target_optimized: bool,
+    sq_pack: jnp.ndarray | None = None,
+    st_pack: jnp.ndarray | None = None,
 ) -> SurfelFactors:
     """Build factor constants from matched pairs (iq into sq, it into st_).
 
@@ -116,29 +144,36 @@ def build_surfel_factors(
     factor, lidar_odometry.cc:254-297). ``False``: the target is in the frozen
     fixed window (unary factor, :299-317). The pair is ordered by time so s1 is
     the earlier surfel (knn_surfel_matcher.cc:41-45).
-    """
-    tq = sq.t[iq]
-    tt = st_.t[it]
-    vq = sq.valid[iq]
-    vt = st_.valid[it]
-    valid = pair_valid & vq & vt
 
-    cw_q = sq.cov_world()[iq]
-    cw_t = st_.cov_world()[it]
+    ``sq_pack``/``st_pack``: precomputed :func:`pack_factor_rows` tables (the
+    pipeline shares the sliding window's across both builds).
+    """
+    if sq_pack is None:
+        sq_pack = pack_factor_rows(sq)
+    if st_pack is None:
+        st_pack = sq_pack if st_ is sq else pack_factor_rows(st_)
+    gq = sq_pack[iq]   # (M, 18) — one wide gather per side
+    gt = st_pack[it]
+
+    tq, tt = gq[:, 0], gt[:, 0]
+    valid = pair_valid & (gq[:, 1] > 0.5) & (gt[:, 1] > 0.5)
+
+    cw_q = _sym6_to_full(gq[:, 12:18])
+    cw_t = _sym6_to_full(gt[:, 12:18])
     vals, vecs = eigh3(cw_q + cw_t)
     lam_min = vals[..., 0]
     n = vecs[..., :, 0]
     w = 1.0 / jnp.sqrt(sigma_floor**2 + jnp.maximum(lam_min, 0.0))
 
-    # per-side quantities
-    def side(s: Surfels, idx):
-        v = lie.quat_rotate(s.rot[idx], s.center[idx])  # R * c_body
-        p = s.pos[idx]
-        il, ir, f = sample_bracket(sample, s.t[idx])
+    # per-side quantities (from the gathered rows — no further window reads)
+    def side(g):
+        v = lie.quat_rotate(g[:, 2:6], g[:, 6:9])  # R * c_body
+        p = g[:, 9:12]
+        il, ir, f = sample_bracket(sample, g[:, 0])
         return v, p, il, ir, f
 
-    vq_, pq_, iql, iqr, fq = side(sq, iq)
-    vt_, pt_, itl, itr, ft = side(st_, it)
+    vq_, pq_, iql, iqr, fq = side(gq)
+    vt_, pt_, itl, itr, ft = side(gt)
 
     if target_optimized:
         # order by time: s1 = earlier (both optimized)
@@ -155,7 +190,7 @@ def build_surfel_factors(
         # unary: target (fixed window) is s1 and constant; query (sliding) is s2.
         # The reference builds these factors only with the fixed surfel first
         # (BuildFixWinLidarResiduals), regardless of time order of the match.
-        c1w = lie.quat_rotate(st_.rot[it], st_.center[it]) + st_.pos[it]
+        c1w = vt_ + pt_
         zi = jnp.zeros_like(iq)
         return SurfelFactors(
             valid=valid, w=w, n=n,

@@ -16,13 +16,25 @@ Acceptance filters per candidate, in rank order (knn_surfel_matcher.cc:25-47):
 3. |n_q . (c_q - c_c)| <= 0.1 m,
 4. the unordered pair not accepted already; first passing candidate wins.
 
-Round-parallel equivalence: the reference walks queries sequentially, skipping a
-candidate whose pair already exists and falling through to the next candidate.
-Here round r lets every still-unmatched query propose its rank-r candidate;
-duplicate pairs are detected against the accepted state (partner arrays), and
-when two queries mutually accept each other in the same round the lower index
-wins and the higher retries its next candidate in the following round — exactly
-the fall-through the sequential loop produces. Pairs are emitted time-ordered
+Sequential-equivalence proof (self-match): the reference walks queries in
+storage order; query q accepts its first candidate c passing the filters whose
+unordered pair {q, c} is not already in the accepted set
+(knn_surfel_matcher.cc:16-49). Since q contributes exactly one pair and is
+processed once, {q, c} can pre-exist only as c's own acceptance with c < q.
+Hence the accepted partner satisfies the recurrence
+
+    partner[q] = knn[q, r*],  r* = first rank r with ok[q, r]
+                 and NOT (knn[q, r] < q  and  partner[knn[q, r]] == q)
+
+whose right side reads partner[] only at indices < q — by strong induction
+over q it has a UNIQUE solution, which is exactly the sequential result. The
+implementation iterates the parallel update F(partner) to a fixed point:
+after t sweeps partner is correct for every query whose dedup-dependency
+chain is shorter than t, so F converges in max-chain-depth steps (measured
+2-4; capped at Q), and any fixed point of F is the unique solution. At the
+fixed point no pair can be recorded from both sides (if partner[i] = j, i < j,
+then j's dup test sees partner[i] == j and skips i), so emission is simply
+every matched query. Pairs are emitted time-ordered by the factor builder
 (s1.t < s2.t, knn_surfel_matcher.cc:41-45).
 """
 
@@ -149,49 +161,42 @@ def match_surfels(
     qidx = jnp.arange(q_cap, dtype=jnp.int32)
     no_partner = jnp.int32(-1)
 
-    def round_step(r, state):
-        matched, partner = state
-        cand = knn[:, r].astype(jnp.int32)
-        ok_r = ok[:, r] & ~matched
-
-        if self_match:
-            # duplicate pair {q, cand}: cand already matched with partner == q
-            dup = matched[cand] & (partner[cand] == qidx)
-            ok_r = ok_r & ~dup
-
-        new_partner = jnp.where(ok_r, cand, partner)
-        new_matched = matched | ok_r
-
-        if self_match:
-            # mutual acceptance in this round: i <-> j both proposed; keep the
-            # lower index, the higher retries next round (sequential fall-through)
-            prop = jnp.where(ok_r, cand, no_partner)
-            mutual = ok_r & (prop[cand] == qidx) & (cand < qidx)
-            new_partner = jnp.where(mutual, partner, new_partner)
-            new_matched = jnp.where(mutual, matched, new_matched)
-
-        return new_matched, new_partner
-
     if self_match:
-        matched = jnp.zeros((q_cap,), bool)
-        partner = jnp.full((q_cap,), no_partner, jnp.int32)
-        matched, partner = jax.lax.fori_loop(0, k, round_step, (matched, partner))
+        # fixed-point iteration of the sequential recurrence (module doc):
+        # each sweep recomputes every query's first acceptable candidate given
+        # the current partners; converges in max dedup-chain-depth sweeps
+        # (measured 2-4) to the unique sequential solution
+        cand = knn.astype(jnp.int32)             # (Q, k)
+        cand_lt = cand < qidx[:, None]
+
+        def fp_body(state):
+            partner, _, it = state
+            dup = cand_lt & (partner[cand] == qidx[:, None])
+            okr = ok & ~dup
+            has = jnp.any(okr, axis=1)
+            first = jnp.argmax(okr, axis=1)
+            new = jnp.where(has, cand[qidx, first], no_partner)
+            return new, jnp.any(new != partner), it + 1
+
+        def fp_cond(state):
+            return state[1] & (state[2] < q_cap)
+
+        partner0 = jnp.full((q_cap,), no_partner, jnp.int32)
+        partner, _, _ = jax.lax.while_loop(
+            fp_cond, fp_body, (partner0, jnp.asarray(True), jnp.asarray(0, jnp.int32)))
+        matched = partner != no_partner
     else:
-        # no duplicate/mutual bookkeeping across queries: the sequential
-        # fall-through degenerates to "first passing rank wins" — closed form,
-        # no rounds loop (argmax on bool picks the first True)
+        # disjoint query/target sets: the dedup can never trigger (each query
+        # contributes a distinct pair), so the sequential fall-through is just
+        # "first passing rank wins" — closed form (argmax on bool = first True)
         matched = jnp.any(ok, axis=1)
         first = jnp.argmax(ok, axis=1)
         partner = jnp.where(
             matched, knn[qidx, first].astype(jnp.int32), no_partner)
 
-    if self_match:
-        # mutual pair recorded from both sides can only remain if accepted in
-        # different rounds both directions — emit once (lower index emits)
-        both = matched & (partner >= 0) & (partner[jnp.clip(partner, 0, q_cap - 1)] == qidx)
-        emit = matched & ~(both & (partner < qidx))
-    else:
-        emit = matched
+    # at the self-match fixed point both-sided pairs are impossible (module
+    # doc), so every matched query emits exactly once
+    emit = matched
 
     # compact to max_pairs: valid pairs first, stable
     n_emit = jnp.sum(emit.astype(jnp.int32))

@@ -26,6 +26,7 @@ Sweep orchestration mirrors AddLidarScan (lidar_odometry.cc:487-605):
 
 from __future__ import annotations
 
+import time
 from functools import partial
 from typing import List, Optional
 
@@ -144,11 +145,16 @@ def process_sweep(
             approx=cfg.match_knn_approx,
         )
 
-        # 6. factors (cc:543-545)
+        # 6. factors (cc:543-545) — one packed table per window, shared across
+        # both builds (pack_factor_rows: wide gathers, cov_world computed once)
+        sld_pack = fmod.pack_factor_rows(sld)
+        fix_pack = fmod.pack_factor_rows(fix)
         sfac_b = fmod.build_surfel_factors(
-            sld, sld, iq_s, it_s, pv_s, sample, cfg.surfel_sigma_floor, target_optimized=True)
+            sld, sld, iq_s, it_s, pv_s, sample, cfg.surfel_sigma_floor, target_optimized=True,
+            sq_pack=sld_pack, st_pack=sld_pack)
         sfac_u = fmod.build_surfel_factors(
-            sld, fix, iq_f, it_f, pv_f, sample, cfg.surfel_sigma_floor, target_optimized=False)
+            sld, fix, iq_f, it_f, pv_f, sample, cfg.surfel_sigma_floor, target_optimized=False,
+            sq_pack=sld_pack, st_pack=fix_pack)
         sfac = jax.tree_util.tree_map(lambda a, b: jnp.concatenate([a, b], 0), sfac_b, sfac_u)
         ifac = fmod.build_imu_factors(imu, sample, max_factors=cfg.max_imu_states)
 
@@ -323,6 +329,10 @@ class LidarOdometry:
         self._trajectory: List[tuple] = []
         self._stats: List[dict] = []
         self._pending: List[tuple] = []  # (back_t, device outputs) not yet fetched
+        # cumulative host-side timing (seconds) for perf attribution: keys
+        # prep (feed-array build), dispatch (process_sweep call until async
+        # return), post (deferred-fetch bookkeeping); read via .timing
+        self.timing = {"prep": 0.0, "dispatch": 0.0, "post": 0.0, "sweeps": 0}
         self.residuals: List[dict] = []  # pre/post-solve residual snapshots (debug)
         self.clouds: List[np.ndarray] = [] if collect_clouds else None
         self._stride = int(round(cfg.sample_dt * cfg.imu_rate))
@@ -417,6 +427,7 @@ class LidarOdometry:
         if self.imu_queue[-1][0] < sweep_end + 1.0 / cfg.imu_rate:
             return False
 
+        _tm0 = time.perf_counter()
         if not self.initialized:
             if len(self.imu_queue) < 2:
                 return False
@@ -527,6 +538,7 @@ class LidarOdometry:
         n_imu_drop = max(0, int(round((new_front - self.imu_front_time) * rate)))
         fix_first = self.fix_first
 
+        _tm1 = time.perf_counter()
         # numpy args go straight into the jitted call: one transfer each inside
         # the dispatch, no separate asarray/convert round-trips per argument
         state, out = process_sweep(
@@ -541,6 +553,7 @@ class LidarOdometry:
             emit_cloud=self.clouds is not None,
         )
         self.state = state
+        _tm2 = time.perf_counter()
 
         # host bookkeeping updates
         self.sample_times = all_samples[n_drop:]
@@ -572,4 +585,9 @@ class LidarOdometry:
             pts_w, pv = jax.device_get((out["pts_world"], out["pts_valid"]))
             self.clouds.append(np.asarray(pts_w)[np.asarray(pv)])
         self.sweep_id += 1
+        _tm3 = time.perf_counter()
+        self.timing["prep"] += _tm1 - _tm0
+        self.timing["dispatch"] += _tm2 - _tm1
+        self.timing["post"] += _tm3 - _tm2
+        self.timing["sweeps"] += 1
         return True

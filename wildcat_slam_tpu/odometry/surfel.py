@@ -109,13 +109,17 @@ def extract_surfels(
 
         # Stable lexicographic sort by (hi, lo); stability preserves the input
         # time order inside each cell (insertion order in the reference
-        # octree). Payload rides the sort operands.
-        (hi_s, lo_s, perm, px, py, pz, t_s, valid_s, cx, cy, cz) = jax.lax.sort(
-            (hi, lo, arange_p, pts[:, 0], pts[:, 1], pts[:, 2], t, valid,
-             cell[:, 0], cell[:, 1], cell[:, 2]),
+        # octree). Payload rides the sort operands — but only the
+        # non-derivable ones: valid_s falls out of the key (valid keys are
+        # < 2^30 by construction, invalid are pinned to 2^31-1) and cell_s is
+        # recomputed elementwise from the sorted points, saving 4 of 11
+        # operands of bitonic-sort traffic at 64k rows.
+        (hi_s, lo_s, perm, px, py, pz, t_s) = jax.lax.sort(
+            (hi, lo, arange_p, pts[:, 0], pts[:, 1], pts[:, 2], t),
             dimension=0, num_keys=2, is_stable=True)
+        valid_s = hi_s != big
         pts_s = jnp.stack([px, py, pz], axis=1)
-        cell_s = jnp.stack([cx, cy, cz], axis=1)
+        cell_s = jnp.floor(pts_s / size).astype(jnp.int32)
 
         is_start = jnp.concatenate(
             [jnp.ones((1,), bool), (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])]
@@ -132,12 +136,13 @@ def extract_surfels(
                         q[:, 0] * q[:, 1], q[:, 0] * q[:, 2], q[:, 1] * q[:, 2]], axis=1)
         tw = jnp.where(valid_s, t_s, 0.0).astype(dtype)
         chan = jnp.concatenate([w[:, None], q, qq, tw[:, None]], axis=1)
-        # Double-float prefix: a plain f32 cumsum stores each prefix rounded to
-        # eps * |global total| (~1e-3 on the qq channels at 64k points), which a
-        # small late segment inherits wholesale — right on top of the smallest
-        # eigenvalue the plane gate reads. The (hi, lo) pair confines range-sum
-        # rounding to eps * |segment| (see ops/dfsum.py).
-        cumz_hi, cumz_lo = df_prefix(chan, axis=0)
+        # Blocked compensated prefix: a plain f32 cumsum stores each prefix
+        # rounded to eps * |global total| (~1e-3 on the qq channels at 64k
+        # points), which a small late segment inherits wholesale — right on top
+        # of the smallest eigenvalue the plane gate reads. The blocked scheme
+        # confines range-sum rounding to ~eps * |block total| at plain-cumsum
+        # cost (see ops/dfsum.py).
+        cumz = df_prefix(chan)
 
         # compact segment start positions: slot j in [0, v_cap); slot v_cap
         # doubles as the open-ended sentinel. Segments beyond v_cap are
@@ -145,7 +150,7 @@ def extract_surfels(
         idx = jnp.where(is_start, seg_id, v_cap + 1)
         start_arr = jnp.full((v_cap + 1,), p_cap, jnp.int32).at[idx].set(
             arange_p, mode="drop", unique_indices=True, indices_are_sorted=True)
-        sums = df_range_sum(cumz_hi, cumz_lo, start_arr[:-1], start_arr[1:])  # (V, 11)
+        sums = df_range_sum(cumz, start_arr[:-1], start_arr[1:])  # (V, 11)
         n_seg = sums[:, 0]
         s1 = sums[:, 1:4]
         s2 = _unpack_sym(sums[:, 4:10])
@@ -162,8 +167,7 @@ def extract_surfels(
 
         per_level.append(dict(
             perm=perm, is_start=is_start, seg_id=seg_id, start_arr=start_arr,
-            t_s=t_s, valid_s=valid_s, cell_s=cell_s,
-            cumz_hi=cumz_hi, cumz_lo=cumz_lo,
+            t_s=t_s, valid_s=valid_s, cell_s=cell_s, cumz=cumz,
             n=n_seg, plane=node_plane, big=node_big, size=size,
         ))
 
@@ -216,7 +220,7 @@ def extract_surfels(
         seg_of = lv["seg_id"][first]
         seg_end = lv["start_arr"][jnp.clip(seg_of + 1, 0, v_cap)]
         cl_end = jnp.maximum(jnp.minimum(cl_start[1:], seg_end), cl_start[:nc])
-        sums = df_range_sum(lv["cumz_hi"], lv["cumz_lo"], cl_start[:nc], cl_end)  # (NC, 11)
+        sums = df_range_sum(lv["cumz"], cl_start[:nc], cl_end)  # (NC, 11)
         n_cl = sums[:, 0]
         s1 = sums[:, 1:4]
         s2 = _unpack_sym(sums[:, 4:10])
