@@ -258,9 +258,12 @@ def extract_surfels(
     # sort by (valid desc, time asc) and truncate to capacity (surfel cc:334 sorts
     # by time; overflow beyond capacity drops the latest surfels)
     bigt = jnp.asarray(jnp.finfo(dtype).max, dtype)
-    order = jnp.argsort(jnp.where(merged["valid"], merged["t"], bigt), stable=True)
     cap = cfg.max_surfels_per_sweep
+    # slice the permutation BEFORE gathering: v[order][:cap] materializes full
+    # (3*NC,)-row gathers of every field (measured ~1.8 ms/sweep at 49152
+    # candidates); v[order[:cap]] gathers only the kept rows
+    order = jnp.argsort(jnp.where(merged["valid"], merged["t"], bigt), stable=True)[:cap]
     n_valid = jnp.sum(merged["valid"].astype(jnp.int32))
-    out = {k: v[order][:cap] for k, v in merged.items()}
+    out = {k: v[order] for k, v in merged.items()}
     out["n_dropped"] = n_cluster_dropped + jnp.maximum(0, n_valid - cap)
     return out

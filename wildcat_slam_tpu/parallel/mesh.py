@@ -83,10 +83,11 @@ def make_batched_step(cfg: WildcatConfig, mesh: Mesh):
     inner = lambda st, *a: raw(st, *a, cfg)
     local = _per_shard_loop(inner)
 
-    # check_vma off (re-verified round 2: vma-typed scan carries still trip it):
-    # the per-window program creates device-invariant literal
-    # carries (e.g. the matcher's fori_loop init) that shard_map's varying-axis
-    # analysis rejects; there is no cross-device communication to validate
+    # check_vma off — tracked issue with a 20-line repro in docs/ISSUES.md:
+    # literal-init loop carries (matcher fixed point, LM counters) turn varying
+    # inside the body and the analysis rejects the carry type; there is no
+    # cross-device communication to validate (asserted structurally by
+    # tests/test_mesh_scaling.py: zero collectives in the compiled step)
     step = jax.shard_map(local, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
                          check_vma=False)
     return jax.jit(step, in_shardings=shard, out_shardings=shard)
