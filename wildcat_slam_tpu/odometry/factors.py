@@ -254,10 +254,13 @@ def surfel_residuals(fac: SurfelFactors, cor: jnp.ndarray, with_jac: bool = True
 
     def block(v, rc, sign):
         # d r / d rot_cor = sign * w n^T * (-Exp(rc) Hat(v) Jr(rc)); concat, not
-        # .at[].set — slab writes into tiled layouts are slow on TPU
-        e = lie.exp_matrix(rc)
-        m = e @ lie.hat(v) @ lie.jr(rc)      # (M, 3, 3)
-        jrot = -sign * jnp.einsum("mi,mij->mj", wn, m)
+        # .at[].set — slab writes into tiled layouts are slow on TPU.
+        # The 3x3 product is consumed only through the row vector w n^T, so
+        # evaluate as three successive batched matvecs on the VPU (u^T Hat(v)
+        # = cross(u, v)) instead of materializing (M, 3, 3) MXU products.
+        u = lie.vec_mat3(wn, lie.exp_matrix(rc))
+        u = jnp.cross(u, v)
+        jrot = -sign * lie.vec_mat3(u, lie.jr(rc))
         jpos = sign * wn
         return jnp.concatenate([jrot, jpos, jnp.zeros(v.shape[:1] + (6,), v.dtype)], axis=1)
 
@@ -395,11 +398,14 @@ def imu_residuals(fac: ImuFactors, cor: jnp.ndarray, weights, dt: float, grav: j
     jr2 = lie.jr(r2c)
 
     # d theta/d r1c = -Jl_inv(theta) q1m^T Jr(r1c); d theta/d r2c = Jr_inv(theta) q2m^T Jr(r2c)
-    dth_dr1 = -lie.jl_inv(theta) @ jnp.swapaxes(q1m, -1, -2) @ jr1
-    dth_dr2 = lie.jr_inv(theta) @ jnp.swapaxes(q2m, -1, -2) @ jr2
+    dth_dr1 = -lie.mat3_mul(
+        lie.mat3_mul(lie.jl_inv(theta), jnp.swapaxes(q1m, -1, -2)), jr1)
+    dth_dr2 = lie.mat3_mul(
+        lie.mat3_mul(lie.jr_inv(theta), jnp.swapaxes(q2m, -1, -2)), jr2)
 
     e1m = lie.quat_to_matrix(e1)
-    dacc_dr1 = -(e1m @ lie.hat(lie.quat_rotate(fac.q1, fac.a1 - ba1)) @ jr1)
+    dacc_dr1 = -lie.mat3_mul(
+        lie.mat3_mul(e1m, lie.hat(lie.quat_rotate(fac.q1, fac.a1 - ba1))), jr1)
 
     def blockmat(rows):
         return jnp.concatenate(

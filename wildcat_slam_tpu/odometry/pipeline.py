@@ -173,6 +173,7 @@ def process_sweep(
             cauchy_scale=cfg.cauchy_loss_scale, max_iterations=cfg.inner_iter_num_max,
             init_lambda=cfg.gn_initial_lambda, function_tolerance=cfg.gn_function_tolerance,
             linear_solver=cfg.linear_solver, pcg_iters=cfg.pcg_iters, pcg_tol=cfg.pcg_tol,
+            n_binary=cfg.max_correspondences,
         )
         if cfg.debug_residuals:
             from wildcat_slam_tpu.odometry.solver import residual_snapshot

@@ -85,6 +85,76 @@ def _imu_banded_normal_eqs(jac, idx, ri, s_cap):
     return h, g
 
 
+def _surfel_normal_eqs(j1v, j2v, rs_w, fac, w1, w2, s_cap, nb):
+    """Surfel-factor contribution to (H, g) without the full dense Gram.
+
+    Each factor row has at most four nonzero 12-blocks — the lerp brackets
+    (b1, b1+1) and (b2, b2+1) — so its J^T J contribution decomposes into
+      * A11 = j1 j1^T on the 2x2 block square at (b1, b1)  [binary rows only]
+      * A22 = j2 j2^T on the 2x2 block square at (b2, b2)
+      * A12 = j1 j2^T on the 2x2 block square at (b1, b2), plus its transpose.
+    The dense formulation (J = W1 (x) j1 + W2 (x) j2 then J^T J on the MXU)
+    squares the M x S*12 J — measured 4.4 ms/sweep of Gram plus ~1.1 ms of J
+    materialization at M=16384, S=96, ~24x of it structural zeros. Here the
+    two diagonal families (which need no cross-block structure) reduce by
+    one-hot MXU contractions over their base block — the
+    ``_imu_banded_normal_eqs`` pattern, O(M * 144) — and only the cross
+    family, whose (b1, b2) support is genuinely unstructured, pays an MXU
+    product: D = B1^T B2 over the nb binary rows alone, half the FLOPs of
+    one full-width Gram and a quarter of the original two. (A fully
+    block-sparse cross assembly — sort by bracket pair + running-sum range
+    reduction — was measured SLOWER than this matmul: the (S, S, 2, 2, 12,
+    12) grid rearrangement costs ~4.5 ms of layout copies on TPU.)
+
+    ``j1v``/``j2v``: (M, 12) raw side Jacobians with IRLS sqrt-weight applied;
+    ``rs_w``: weighted residuals; ``w1``/``w2``: the (M, S) bracket-lerp
+    matrices (:func:`factors.interp_weights`); rows [0:nb] are the binary
+    factors (unary rows have j1 = 0 and contribute only to A22).
+    """
+    dtype = j1v.dtype
+    hp = jax.lax.Precision.HIGHEST  # true f32 (TPU matmul defaults to bf16)
+    S = s_cap
+
+    g = (jnp.einsum("ms,mi->si", w1, j1v * rs_w[:, None], precision=hp)
+         + jnp.einsum("ms,mi->si", w2, j2v * rs_w[:, None], precision=hp)
+         ).reshape(S * 12)
+
+    ar = jnp.arange(S, dtype=jnp.int32)
+
+    def diag_payload(jv, f):
+        # combo c = di + dj: (1-f)^2 at (b, b), (1-f) f at (b, b+1)/(b+1, b),
+        # f^2 at (b+1, b+1); the outer product is symmetric so one payload
+        # serves both off-diagonal positions
+        a = (jv[:, :, None] * jv[:, None, :]).reshape(jv.shape[0], 144)
+        c = jnp.stack([(1.0 - f) * (1.0 - f), (1.0 - f) * f, f * f], axis=1)
+        return (c[:, :, None] * a[:, None, :]).reshape(jv.shape[0], 3 * 144)
+
+    oh1 = (fac.i1l[:nb, None] == ar).astype(dtype)
+    oh2 = (fac.i2l[:, None] == ar).astype(dtype)
+    t11 = jnp.einsum("ms,mx->sx", oh1, diag_payload(j1v[:nb], fac.f1[:nb]),
+                     precision=hp).reshape(S, 3, 12, 12)
+    t22 = jnp.einsum("ms,mx->sx", oh2, diag_payload(j2v, fac.f2),
+                     precision=hp).reshape(S, 3, 12, 12)
+    tdiag = t11 + t22
+
+    h4 = jnp.zeros((S + 1, 12, S + 1, 12), dtype)
+    for di in range(2):
+        for dj in range(2):
+            h4 = h4.at[ar + di, :, ar + dj, :].add(
+                tdiag[:, di + dj], unique_indices=True, indices_are_sorted=True)
+    hdiag = h4[:S, :, :S, :].reshape(S * 12, S * 12)
+
+    # cross term over the binary rows: expand each side once, one MXU product
+    b1 = jnp.einsum("ms,mj->msj", w1[:nb], j1v[:nb],
+                    precision=hp).reshape(nb, S * 12)
+    b2 = jnp.einsum("ms,mj->msj", w2[:nb], j2v[:nb],
+                    precision=hp).reshape(nb, S * 12)
+    d = jnp.dot(b1.T, b2, precision=hp, preferred_element_type=dtype)
+
+    h = hdiag + d + d.T
+    return h, g
+
+
 class SolveStats(NamedTuple):
     iterations: jnp.ndarray
     initial_cost: jnp.ndarray
@@ -98,7 +168,7 @@ def _pcg_solve(h: jnp.ndarray, b: jnp.ndarray, s_cap: int, iters: int, tol: floa
     sequential panel updates of a factorization."""
     blocks = h.reshape(s_cap, 12, s_cap, 12)
     diag_blocks = blocks[jnp.arange(s_cap), :, jnp.arange(s_cap), :]  # (S, 12, 12)
-    minv = jnp.linalg.inv(diag_blocks)
+    minv = pcg_pallas.batched_small_inverse(diag_blocks)
 
     def prec(r):
         return jnp.einsum("sij,sj->si", minv, r.reshape(s_cap, 12)).reshape(-1)
@@ -134,7 +204,7 @@ def _pcg_solve(h: jnp.ndarray, b: jnp.ndarray, s_cap: int, iters: int, tol: floa
 
 
 @partial(jax.jit, static_argnames=("max_iterations", "dt", "linear_solver", "pcg_iters",
-                                   "pcg_tol"))
+                                   "pcg_tol", "n_binary"))
 def solve_window(
     sample: SampleStates,
     sfac: fmod.SurfelFactors,
@@ -150,6 +220,7 @@ def solve_window(
     linear_solver: str = "pcg",
     pcg_iters: int = 96,
     pcg_tol: float = 1e-6,
+    n_binary: int | None = None,
 ):
     """Optimize the correction state of the sliding window in place.
 
@@ -167,8 +238,13 @@ def solve_window(
     frozen_pos0 = (par_state == 0) & (par_slot >= 3) & (par_slot < 6) & fix_first_pos
     free = free & ~frozen_pos0
 
+    # rows [0:n_binary] are the binary factors; unary rows have j1 = 0, so
+    # the cross/diag-1 terms of the normal equations run on this slice only
+    nb = sfac.valid.shape[0] if n_binary is None else n_binary
+
     # bracket-lerp weight matrices: constant through the solve, shared by the
-    # interpolation (MXU matmul instead of row gathers) and the J-row scatter
+    # interpolation (MXU matmul instead of row gathers) and the gradient /
+    # cross-term contractions
     w_interp = fmod.interp_weights(sfac, s_cap, dtype)
 
     # the fused Pallas PCG runs on real TPU backends only ("pcg_xla" forces the
@@ -194,26 +270,21 @@ def solve_window(
 
         # Cauchy IRLS scaling: sqrt(rho'(s)), rho'(s) = 1/(1 + s/a^2)
         sw = 1.0 / jnp.sqrt(1.0 + rs * rs / a2)
-        # J rows via the shared bracket-weight matrices: the lerp factors in
-        # jac_s blocks (0+1) and (2+3) cancel back to the raw side Jacobians
-        j1v = jac_s[:, 0] + jac_s[:, 1]
-        j2v = jac_s[:, 2] + jac_s[:, 3]
-        w1, w2 = w_interp
-        hp = jax.lax.Precision.HIGHEST  # true f32 (TPU einsum defaults to bf16)
-        js = (jnp.einsum("ms,mj->msj", w1, j1v, precision=hp)
-              + jnp.einsum("ms,mj->msj", w2, j2v, precision=hp)
-              ).reshape(jac_s.shape[0], s_cap * 12)
-        js = js * sw[:, None]
+        # raw side Jacobians: the lerp factors in jac_s blocks (0+1) and
+        # (2+3) cancel; IRLS weight folded in so outer products carry sw^2
+        j1v = (jac_s[:, 0] + jac_s[:, 1]) * sw[:, None]
+        j2v = (jac_s[:, 2] + jac_s[:, 3]) * sw[:, None]
         rs_w = rs * sw
+        w1, w2 = w_interp
         hi, gi = _imu_banded_normal_eqs(jac_i, idx_i, ri, s_cap)
 
-        # H and g in true f32. A bf16 Gram was measured 2x faster, but bf16
-        # element noise (~0.4%) floods the weak-mode curvature of
-        # ill-conditioned windows (corridor geometries: weak direction ~1e-6
-        # of the strong ones) and destabilizes the whole filter — see
-        # MEASUREMENTS.md round 2 "corridor divergence root cause".
-        h = jnp.dot(js.T, js, precision=hp, preferred_element_type=jnp.float32) + hi
-        g = jnp.matmul(js.T, rs_w, precision=hp) + gi
+        # H and g in true f32 (a bf16 Gram destabilizes weak-mode curvature —
+        # MEASUREMENTS.md round 2), assembled block-sparse: the dense
+        # J^T J Gram burned ~24x redundant FLOPs on structural zeros
+        hs, gs = _surfel_normal_eqs(
+            j1v, j2v, rs_w, sfac, w1, w2, s_cap, nb)
+        h = hs + hi
+        g = gs + gi
 
         # gauge/padding masking -> identity rows/cols, zero gradient
         fm = free.astype(dtype)

@@ -199,7 +199,17 @@ def extract_surfels(
     for level in range(n_levels):
         lv = per_level[level]
         seg_ok = lv["seg_id"] < v_cap
-        cand_s = cand[level][jnp.clip(lv["seg_id"], 0, v_cap - 1)] & seg_ok & lv["valid_s"]
+        # expand per-slot candidacy to points: seg_id is non-decreasing, so a
+        # delta scatter at the (unique, ascending) segment-start positions
+        # plus one int32 running sum — both exact — replaces a (P,) random
+        # gather of 1-wide rows (measured 0.53 ms/level at 64k points; TPU
+        # gathers fetch whole tiled rows, so width-1 rows waste the lanes)
+        ci = cand[level].astype(jnp.int32)
+        dse = ci - jnp.concatenate([jnp.zeros((1,), jnp.int32), ci[:-1]])
+        flag_pts = jnp.cumsum(
+            jnp.zeros((p_cap,), jnp.int32).at[lv["start_arr"][:-1]].add(
+                dse, mode="drop", unique_indices=True, indices_are_sorted=True))
+        cand_s = (flag_pts > 0) & seg_ok & lv["valid_s"]
 
         gap = jnp.concatenate(
             [jnp.ones((1,), bool), (lv["t_s"][1:] - lv["t_s"][:-1]) > cfg.cluster_time_gap]

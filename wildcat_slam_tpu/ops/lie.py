@@ -44,6 +44,22 @@ def hat(v: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(rows, axis=-2)
 
 
+def mat3_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched 3x3 matrix product on the VPU: (..., 3, 3) x (..., 3, 3).
+
+    XLA lowers batched tiny-dot ``a @ b`` to MXU convolutions at the default
+    one-pass-bf16 precision with (2,1)-packed layout-change copies between
+    them — measured 2.4 ms/sweep of pure copies at batch 16384. 27 fused
+    f32 FMAs per row are strictly cheaper and exact."""
+    return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+
+
+def vec_mat3(v: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """Batched row-vector times 3x3: (..., 3) x (..., 3, 3) -> (..., 3).
+    Same VPU rationale as :func:`mat3_mul`."""
+    return jnp.sum(v[..., :, None] * m, axis=-2)
+
+
 def _safe(x: jnp.ndarray, eps: float) -> jnp.ndarray:
     """Replace near-zero values by 1 so the non-Taylor branch never divides by ~0."""
     return jnp.where(x < eps, jnp.ones_like(x), x)
@@ -148,7 +164,10 @@ def jl_inv(v: jnp.ndarray) -> jnp.ndarray:
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=v.dtype), v.shape[:-1] + (3, 3))
     h = hat(v)
-    return eye - 0.5 * h + coef[..., None, None] * (h @ h)
+    # hat(v)^2 = v v^T - (v.v) I exactly — avoids a batched 3x3 matmul, which
+    # XLA lowers to a bf16 MXU op with layout-copy overhead at large batch
+    hh = v[..., :, None] * v[..., None, :] - t2[..., None, None] * eye
+    return eye - 0.5 * h + coef[..., None, None] * hh
 
 
 def jr_inv(v: jnp.ndarray) -> jnp.ndarray:

@@ -99,10 +99,28 @@ def pcg_solve_fused(h, dlam, minv, b, *, iters: int, tol: float,
     return x.reshape(n)
 
 
+def batched_small_inverse(a: jnp.ndarray) -> jnp.ndarray:
+    """Batched (B, n, n) inverse by unrolled Gauss-Jordan, no pivoting.
+
+    Valid for SPD inputs (the damped normal-equation diagonal blocks), where
+    pivots stay positive — the same regime where Cholesky needs no pivoting.
+    ``jnp.linalg.inv`` lowers to an LuDecompositionBlock custom call plus
+    (n, n)-minor layout-change copies (~1.9 ms/sweep traced at B=96, n=12);
+    n unrolled elimination steps of elementwise VPU work fuse to ~nothing."""
+    n = a.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), a.shape)
+    aug = jnp.concatenate([a, eye], axis=-1)                  # (B, n, 2n)
+    for k in range(n):
+        piv = aug[:, k, :] / aug[:, k, k:k + 1]               # (B, 2n)
+        aug = aug - aug[:, :, k:k + 1] * piv[:, None, :]
+        aug = aug.at[:, k, :].set(piv)
+    return aug[:, :, n:]
+
+
 def block_diag_inverse(h, dlam, s_cap: int):
     """(S, 12, 12) inverses of the damped 12x12 diagonal blocks of H — the
     block-Jacobi preconditioner, applied blockwise inside the kernel."""
     blocks = h.reshape(s_cap, 12, s_cap, 12)
     ar = jnp.arange(s_cap)
     diag_blocks = blocks[ar, :, ar, :] + jax.vmap(jnp.diag)(dlam.reshape(s_cap, 12))
-    return jnp.linalg.inv(diag_blocks)
+    return batched_small_inverse(diag_blocks)
