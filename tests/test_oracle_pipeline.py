@@ -145,15 +145,22 @@ class TestPipelineVsOracle:
         # the regime that exposed the round-2 bf16 matmul hazard: weak
         # translational observability along the corridor, restored only by
         # doorway bulkheads — oracle agreement here is the strongest
-        # regression guard for estimator-critical precision
+        # regression guard for estimator-critical precision.
+        #
+        # door_spacing is 6.0 because the ORACLE (exact f64 reference
+        # semantics) itself walks off along the corridor at sparser doors on
+        # this 8.5 s ramp: measured oracle ATE 8.2 mm at spacing 6.0 but
+        # 372 mm at 8.0 and 438 mm at 10.0, while the product stays bounded
+        # (18.5 mm at spacing 10.0 — see MEASUREMENTS.md round 3). Agreement
+        # can only be asserted where the reference algorithm is stable.
         seq = SyntheticSequence(
             duration=8.5, points_per_scan=2500, room_half=8.0, seed=0,
-            geometry="ramp", door_spacing=10.0)
+            geometry="ramp", door_spacing=6.0)
         delta, ate_o, ate_p = _compare(seq, _cfg(
             max_surfels_fixed=4096, max_imu_states=1536, max_sample_states=96))
         print(f"corridor: traj-delta {delta*1000:.3f} mm, ATE oracle "
               f"{ate_o*1000:.3f} mm, ATE product {ate_p*1000:.3f} mm")
-        # measured (this round): traj-delta 12.03 mm, ATE 31.81 (product) vs
-        # 34.38 (oracle) mm over 16 sweeps; bounds ~1.5x measured
-        assert delta < 0.018
-        assert ate_p < ate_o + 0.01
+        # measured (this round): traj-delta 6.09 mm, ATE 11.71 (product) vs
+        # 8.24 (oracle) mm over 17 sweeps; bounds ~1.5x measured
+        assert delta < 0.010
+        assert ate_p < ate_o + 0.006
