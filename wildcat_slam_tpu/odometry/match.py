@@ -46,8 +46,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from wildcat_slam_tpu.ops.knn_pallas import knn_topk_fused
 
-@partial(jax.jit, static_argnames=("k", "approx"))
+
+@partial(jax.jit, static_argnames=("k", "approx", "fused"))
 def knn_search(
     cq: jnp.ndarray, nq: jnp.ndarray, vq: jnp.ndarray,
     ct: jnp.ndarray, nt: jnp.ndarray, vt: jnp.ndarray,
@@ -56,6 +58,7 @@ def knn_search(
     angular_dist: float = 5.0 * jnp.pi / 180.0,
     k: int = 10,
     approx: bool = True,
+    fused: bool | None = None,
 ):
     """k nearest targets per query in the 6-D scaled descriptor space
     (KnnSurfelMatcher::KNearestSearch, knn_surfel_matcher.cc:51-89).
@@ -82,6 +85,22 @@ def knn_search(
     far = jnp.asarray(1e6, dtype)
     dt_ = jnp.where(vt[:, None], dt_, far)
     dq = jnp.where(vq[:, None], dq, -far)
+    if approx and fused is None:
+        # the fused Pallas path is TPU-only (same gate as solver.use_fused_pcg)
+        # and size-gated: at the shipped window shapes (Q=8192, T<=16384) the
+        # unfused XLA Gram + approx_max_k is FASTER (2.9 ms vs 3.3-4.5 ms —
+        # MEASUREMENTS.md round 3); the fused kernel's HBM savings only beat
+        # its extra VPU work once the (Q, T) product reaches ~2^30 (measured
+        # crossover: Q=16384, T=65536 -> 14.5 ms fused vs 17.2 ms unfused,
+        # widening with T). CPU tests and f64 always take the portable paths.
+        fused = (dtype == jnp.float32
+                 and dq.shape[0] * dt_.shape[0] >= (1 << 30)
+                 and jax.devices()[0].platform == "tpu")
+    if approx and fused:
+        # single-kernel distance + per-bin reduction: the (Q, T) matrix never
+        # touches HBM (ops/knn_pallas.py; ~98% realized recall vs the 0.95
+        # recall_target requested below)
+        return knn_topk_fused(dq, dt_, k)
     # true-f32 Gram: TPU matmuls default to one-pass bf16, whose ~0.4% noise
     # on d^2 reorders near-equal neighbours — the candidate sets then differ
     # structurally from the exact ranking (measured 70% pair-set divergence
