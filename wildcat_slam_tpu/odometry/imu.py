@@ -229,14 +229,23 @@ def _interp_pose_sorted(imu: ImuStates, query_t: jnp.ndarray):
     per-point bracket-state lookup — 16 channels of 4-byte random row gathers,
     which run at ~0.5 GB/s effective on TPU — can be rebuilt as a tick-side
     difference scatter (K rows) plus one running sum over the points: exact
-    telescoping, identical bracketing (the positions come from the same
-    ``bracket_indices`` result via searchsorted, so tie handling is shared).
+    telescoping, identical bracketing.
+
+    The run boundaries come from the DUAL search: instead of computing a
+    per-point bracket index (``bracket_indices``: K-table lookups at P=64k
+    sorted positions, whose two correction-step gathers cost ~0.9 ms/sweep on
+    TPU) and then finding each tick's first point, search the K tick times
+    into the sorted P point stamps directly. ``lower_bound(t, q) >= k`` iff
+    ``q > t[k-1]`` (t is monotone), so the first point of run k is
+    ``searchsorted(query_t, t[k-1], side='right')`` — K cheap queries against
+    the point stamps, no per-point index materialized at all. The [1, count-1]
+    clamp of ``bracket_indices`` maps to: runs 0 and 1 both start at point 0,
+    runs past count-1 never start (boundary ``big``).
     """
     # the padding tail of a sweep holds zeros — clamp to the running max so the
     # index sequence stays monotone (identity on genuinely sorted stamps;
     # padding points get the last pose and are masked downstream)
     query_t = jax.lax.associative_scan(jnp.maximum, query_t)
-    idx = bracket_indices(imu, query_t)  # (P,) non-decreasing in [1, count-1]
     k_cap = imu.t.shape[0]
     p_cap = query_t.shape[0]
     dtype = imu.pos.dtype
@@ -250,9 +259,16 @@ def _interp_pose_sorted(imu: ImuStates, query_t: jnp.ndarray):
          imu.pos, prev(imu.pos), imu.rot, prev(imu.rot)],
         axis=1,
     )  # (K, 16)
-    # first point position of each tick's bracket run; ticks with no points
-    # collapse onto the same position (their deltas telescope)
-    s = jnp.searchsorted(idx, jnp.arange(k_cap, dtype=idx.dtype), side="left")
+    # first point position of each tick's bracket run (dual search, see above);
+    # ticks with no points collapse onto the same position (deltas telescope)
+    big = jnp.asarray(jnp.finfo(imu.t.dtype).max, imu.t.dtype)
+    j = jnp.arange(k_cap)
+    # boundary time of run k is t[k-1], with the upper clamp to count-1
+    # expressed as: runs k >= count never start
+    tj = jnp.where((j >= 1) & (j <= imu.count - 2), imu.t, big)
+    bound = jnp.concatenate([jnp.full((2,), -big, imu.t.dtype), tj[1:k_cap - 1]])
+    qt = query_t.astype(imu.t.dtype)
+    s = jnp.searchsorted(qt, bound, side="right").astype(jnp.int32)
     delta = jnp.concatenate([vals[:1], vals[1:] - vals[:-1]], axis=0)
     scat = jnp.zeros((p_cap, vals.shape[1]), dtype).at[s].add(delta, mode="drop")
     per_pt = jnp.cumsum(scat, axis=0)  # (P, 16) = vals[idx]

@@ -33,17 +33,48 @@ from wildcat_slam_tpu.odometry.states import SampleStates
 from wildcat_slam_tpu.ops import pcg_pallas
 
 
+def _shift_down(a, d):
+    """a[r - d] along axis 0 with zeros for r < d (static small d)."""
+    if d == 0:
+        return a
+    return jnp.concatenate([jnp.zeros_like(a[:d]), a[:-d]], axis=0)
+
+
+def _place_block_bands(bands, s_cap: int, dtype):
+    """Dense (S*12, S*12) H from per-delta block bands.
+
+    ``bands`` maps a block-diagonal offset ``delta`` to a (S, 12, 12) array B
+    with B[r] the 12x12 block at block-row r, block-col r + delta. The
+    placement is a mask-multiply — ``H4[r, i, c, j] = sum_delta B_d[r, i, j] *
+    (c == r + delta)`` — which XLA fuses into ONE output fusion writing the
+    5.3 MB H directly in its consumer layout. The previous formulation
+    (scatter-adds into a (S+2)-padded buffer, then crop) paid ~1.5 ms/sweep of
+    pad/slice/layout copies around the scatters, re-paid inside the LM loop's
+    re-linearization conditional.
+    """
+    ar = jnp.arange(s_cap)
+    h4 = jnp.zeros((s_cap, 12, s_cap, 12), dtype)
+    for delta, blk in sorted(bands.items()):
+        oh = (ar[:, None] + delta == ar[None, :]).astype(dtype)   # (S, S)
+        h4 = h4 + blk[:, :, None, :] * oh[:, None, :, None]
+    return h4.reshape(s_cap * 12, s_cap * 12)
+
+
+def _add_band(bands, delta, blk):
+    bands[delta] = blk if delta not in bands else bands[delta] + blk
+
+
 def _imu_banded_normal_eqs(jac, idx, ri, s_cap):
-    """IMU-factor contribution to (H, g) via banded accumulation.
+    """IMU-factor contribution to (H, g): per-delta block bands plus g.
 
     An IMU factor's three interpolation times span two ticks — far less than the
     sample spacing — so all six touched blocks lie in a contiguous 3-block band
     starting at ``base = min(idx)``. Instead of scattering (Mi*12, S*12) dense
     rows (tens of MB, the dominant assembly cost), each factor reduces to a
-    (12, 36) band; band outer products segment-sum over base into (S, 36, 36)
-    and a final tiny scatter places the 3x3 block grid into H.
+    (12, 36) band; band outer products segment-sum over base into (S, 36, 36),
+    whose 3x3 block grid reads off as five block-diagonal bands
+    (delta = dj - di in [-2, 2]) for :func:`_place_block_bands`.
     """
-    mi = jac.shape[0]
     dtype = jac.dtype
     base = jnp.min(idx, axis=1)                     # (Mi,)
     rel = idx - base[:, None]                       # values in {0, 1, 2}
@@ -65,28 +96,22 @@ def _imu_banded_normal_eqs(jac, idx, ri, s_cap):
     hseg = jnp.einsum("ms,mij->sij", oh, hb, precision=hp)     # (S, 36, 36)
     gseg = jnp.einsum("ms,mi->si", oh, gb, precision=hp)        # (S, 36)
 
-    # place the 3x3 block grid of each band at (b+di, b+dj): nine scatters at
-    # provably unique+sorted positions into a padded buffer (fast path), then
-    # crop — contributions that would fall past the valid range are zero by
-    # construction (bands never extend beyond the last valid state)
-    hseg_blocks = hseg.reshape(s_cap, 3, 12, 3, 12).transpose(0, 1, 3, 2, 4)  # (S,3,3,12,12)
-    h4 = jnp.zeros((s_cap + 2, 12, s_cap + 2, 12), dtype)
-    g4 = jnp.zeros((s_cap + 2, 12), dtype)
-    b_idx = jnp.arange(s_cap)
-    gseg_blocks = gseg.reshape(s_cap, 3, 12)
+    # block (di, dj) of a band based at r lands at (r + di, r + dj): fold the
+    # base shift into per-delta bands B[rr] = sum_di hseg[rr - di][di, di+delta]
+    hseg_blocks = hseg.reshape(s_cap, 3, 12, 3, 12)             # (S, di, i, dj, j)
+    bands = {}
     for di in range(3):
-        g4 = g4.at[b_idx + di].add(
-            gseg_blocks[:, di], unique_indices=True, indices_are_sorted=True)
         for dj in range(3):
-            h4 = h4.at[b_idx + di, :, b_idx + dj, :].add(
-                hseg_blocks[:, di, dj], unique_indices=True, indices_are_sorted=True)
-    h = h4[:s_cap, :, :s_cap, :].reshape(s_cap * 12, s_cap * 12)
-    g = g4[:s_cap].reshape(s_cap * 12)
-    return h, g
+            _add_band(bands, dj - di, _shift_down(hseg_blocks[:, di, :, dj, :], di))
+    gseg_blocks = gseg.reshape(s_cap, 3, 12)
+    g = sum(_shift_down(gseg_blocks[:, di], di) for di in range(3)).reshape(s_cap * 12)
+    return bands, g
 
 
 def _surfel_normal_eqs(j1v, j2v, rs_w, fac, w1, w2, s_cap, nb):
     """Surfel-factor contribution to (H, g) without the full dense Gram.
+    Returns (bands, d, g): block bands for :func:`_place_block_bands`, the
+    dense cross matrix D (added as D + D^T), and the gradient.
 
     Each factor row has at most four nonzero 12-blocks — the lerp brackets
     (b1, b1+1) and (b2, b2+1) — so its J^T J contribution decomposes into
@@ -137,12 +162,12 @@ def _surfel_normal_eqs(j1v, j2v, rs_w, fac, w1, w2, s_cap, nb):
                      precision=hp).reshape(S, 3, 12, 12)
     tdiag = t11 + t22
 
-    h4 = jnp.zeros((S + 1, 12, S + 1, 12), dtype)
-    for di in range(2):
-        for dj in range(2):
-            h4 = h4.at[ar + di, :, ar + dj, :].add(
-                tdiag[:, di + dj], unique_indices=True, indices_are_sorted=True)
-    hdiag = h4[:S, :, :S, :].reshape(S * 12, S * 12)
+    # combo c = di + dj at (r + di, r + dj) reads off as three bands:
+    # delta 0 gets c=0 at r and c=2 at r+1; delta +/-1 both get c=1
+    bands = {}
+    _add_band(bands, 0, tdiag[:, 0] + _shift_down(tdiag[:, 2], 1))
+    _add_band(bands, 1, tdiag[:, 1])
+    _add_band(bands, -1, _shift_down(tdiag[:, 1], 1))
 
     # cross term over the binary rows: expand each side once, one MXU product
     b1 = jnp.einsum("ms,mj->msj", w1[:nb], j1v[:nb],
@@ -151,8 +176,7 @@ def _surfel_normal_eqs(j1v, j2v, rs_w, fac, w1, w2, s_cap, nb):
                     precision=hp).reshape(nb, S * 12)
     d = jnp.dot(b1.T, b2, precision=hp, preferred_element_type=dtype)
 
-    h = hdiag + d + d.T
-    return h, g
+    return bands, d, g
 
 
 class SolveStats(NamedTuple):
@@ -166,8 +190,7 @@ def _pcg_solve(h: jnp.ndarray, b: jnp.ndarray, s_cap: int, iters: int, tol: floa
     preconditioner. TPU-friendly alternative to dense Cholesky: each iteration
     is one (N, N) matvec + elementwise work, which XLA fuses far better than the
     sequential panel updates of a factorization."""
-    blocks = h.reshape(s_cap, 12, s_cap, 12)
-    diag_blocks = blocks[jnp.arange(s_cap), :, jnp.arange(s_cap), :]  # (S, 12, 12)
+    diag_blocks = pcg_pallas.extract_diag_blocks(h, s_cap)  # (S, 12, 12)
     minv = pcg_pallas.batched_small_inverse(diag_blocks)
 
     def prec(r):
@@ -276,14 +299,17 @@ def solve_window(
         j2v = (jac_s[:, 2] + jac_s[:, 3]) * sw[:, None]
         rs_w = rs * sw
         w1, w2 = w_interp
-        hi, gi = _imu_banded_normal_eqs(jac_i, idx_i, ri, s_cap)
+        bands_i, gi = _imu_banded_normal_eqs(jac_i, idx_i, ri, s_cap)
 
         # H and g in true f32 (a bf16 Gram destabilizes weak-mode curvature —
         # MEASUREMENTS.md round 2), assembled block-sparse: the dense
-        # J^T J Gram burned ~24x redundant FLOPs on structural zeros
-        hs, gs = _surfel_normal_eqs(
+        # J^T J Gram burned ~24x redundant FLOPs on structural zeros. Both
+        # factor families' banded parts merge into ONE fused placement.
+        bands_s, d, gs = _surfel_normal_eqs(
             j1v, j2v, rs_w, sfac, w1, w2, s_cap, nb)
-        h = hs + hi
+        for delta, blk in bands_s.items():
+            _add_band(bands_i, delta, blk)
+        h = _place_block_bands(bands_i, s_cap, dtype) + d + d.T
         g = gs + gi
 
         # gauge/padding masking -> identity rows/cols, zero gradient

@@ -117,10 +117,19 @@ def batched_small_inverse(a: jnp.ndarray) -> jnp.ndarray:
     return aug[:, :, n:]
 
 
+def extract_diag_blocks(h, s_cap: int):
+    """(S, 12, 12) diagonal 12x12 blocks of (S*12, S*12) H by mask-multiply +
+    reduce. The natural formulation — ``h.reshape(S,12,S,12)[ar,:,ar,:]`` — is
+    a gather whose index-friendly layout costs a full (S*12, S*12) transpose
+    copy on TPU (~0.6 ms/sweep traced); the masked reduction reads H once in
+    whatever layout it already has and fuses."""
+    bi = jnp.arange(s_cap * 12) // 12
+    mask = (bi[:, None] == bi[None, :]).astype(h.dtype)
+    return (h * mask).reshape(s_cap, 12, s_cap, 12).sum(axis=2)
+
+
 def block_diag_inverse(h, dlam, s_cap: int):
     """(S, 12, 12) inverses of the damped 12x12 diagonal blocks of H — the
     block-Jacobi preconditioner, applied blockwise inside the kernel."""
-    blocks = h.reshape(s_cap, 12, s_cap, 12)
-    ar = jnp.arange(s_cap)
-    diag_blocks = blocks[ar, :, ar, :] + jax.vmap(jnp.diag)(dlam.reshape(s_cap, 12))
+    diag_blocks = extract_diag_blocks(h, s_cap) + jax.vmap(jnp.diag)(dlam.reshape(s_cap, 12))
     return batched_small_inverse(diag_blocks)
