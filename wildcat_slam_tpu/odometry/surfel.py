@@ -55,6 +55,29 @@ def _unpack_sym(m6: jnp.ndarray) -> jnp.ndarray:
     ], axis=-2)
 
 
+def _compact_positions(flag: jnp.ndarray, slot_id: jnp.ndarray, cap: int, fill: int):
+    """(cap + 1,) start positions: out[j] = index of the flagged element with
+    ``slot_id == j`` (slot ids are consecutive over flagged elements), ``fill``
+    for absent slots. Slots past ``cap`` are cut (slot ``cap`` itself is kept
+    as the open-ended sentinel).
+
+    This is stream compaction. The scatter formulation —
+    ``full(cap+1, fill).at[where(flag, slot_id, cap+1)].set(arange)`` — walks
+    all P index rows (~0.30 ms/call at P=64k on TPU, 6 calls/sweep); a 2-key
+    bitonic sort that floats the flagged positions to the front costs ~0.1 ms
+    and XLA shares nothing between the two, so the sort wins."""
+    p = flag.shape[0]
+    big = jnp.int32(2**31 - 1)
+    key = jnp.where(flag, slot_id, big)
+    key_s, pos_s = jax.lax.sort((key, jnp.arange(p, dtype=jnp.int32)), num_keys=1)
+    if p < cap + 1:  # fewer elements than slots: missing tail = absent slots
+        pad = cap + 1 - p
+        key_s = jnp.concatenate([key_s, jnp.full((pad,), big, jnp.int32)])
+        pos_s = jnp.concatenate([pos_s, jnp.zeros((pad,), jnp.int32)])
+    head_k, head_p = key_s[:cap + 1], pos_s[:cap + 1]
+    return jnp.where(head_k <= cap, head_p, jnp.int32(fill))
+
+
 def _plane_test(vals: jnp.ndarray, thr: float, likeness_min: float, strict: bool):
     """vals: (..., 3) ascending eigenvalues."""
     s = jnp.sum(vals, axis=-1)
@@ -147,9 +170,7 @@ def extract_surfels(
         # compact segment start positions: slot j in [0, v_cap); slot v_cap
         # doubles as the open-ended sentinel. Segments beyond v_cap are
         # dropped — and counted (capacity loss is never silent).
-        idx = jnp.where(is_start, seg_id, v_cap + 1)
-        start_arr = jnp.full((v_cap + 1,), p_cap, jnp.int32).at[idx].set(
-            arange_p, mode="drop", unique_indices=True, indices_are_sorted=True)
+        start_arr = _compact_positions(is_start, seg_id, v_cap, p_cap)
         sums = df_range_sum(cumz, start_arr[:-1], start_arr[1:])  # (V, 11)
         n_seg = sums[:, 0]
         s1 = sums[:, 1:4]
@@ -173,13 +194,14 @@ def extract_surfels(
 
     # --- hierarchy gating, evaluated per compact SLOT ---
     # A child segment's parent slot is found through the child's first point:
-    # its input index, its position in the parent's sort order (inverse
-    # permutation), the parent's seg_id there.
-    inv_perm = []
-    for l in range(n_levels - 1):  # only parent levels need an inverse
-        ip = jnp.zeros((p_cap,), jnp.int32).at[per_level[l]["perm"]].set(
-            arange_p, unique_indices=True)
-        inv_perm.append(ip)
+    # its input index, then the parent's seg_id at that input index. The
+    # parent's seg_id in INPUT order is the sort (perm, seg_id) — undoing the
+    # level sort with one cheap 2-operand sort instead of materializing the
+    # inverse permutation by scatter (~0.30 ms/level of 64k index rows).
+    seg_id_input = []
+    for l in range(n_levels - 1):  # only parent levels are queried
+        _, sid = jax.lax.sort((per_level[l]["perm"], per_level[l]["seg_id"]), num_keys=1)
+        seg_id_input.append(sid)
 
     # level 0 fits when big; level 1 always follows a big root (forced split,
     # surfel_extraction.cc:131-137); deeper levels only under non-planar parents
@@ -188,7 +210,7 @@ def extract_surfels(
         lv = per_level[l]
         parent_open = fitted[l - 1] if l == 1 else fitted[l - 1] & ~per_level[l - 1]["plane"]
         i0 = lv["perm"][jnp.clip(lv["start_arr"][:-1], 0, p_cap - 1)]
-        pseg = per_level[l - 1]["seg_id"][inv_perm[l - 1][i0]]
+        pseg = seg_id_input[l - 1][i0]
         ok = parent_open[jnp.clip(pseg, 0, v_cap - 1)] & (pseg < v_cap)
         fitted.append(ok & lv["big"])
     cand = [fitted[l] & per_level[l]["plane"] for l in range(n_levels)]  # per slot
@@ -219,9 +241,7 @@ def extract_surfels(
         n_cluster_dropped += jnp.maximum(0, jnp.sum(new_cluster.astype(jnp.int32)) - nc)
 
         # cluster start positions; slot nc is the next-of-last sentinel
-        idx = jnp.where(new_cluster, cl_id, nc + 1)
-        cl_start = jnp.full((nc + 1,), p_cap, jnp.int32).at[idx].set(
-            arange_p, mode="drop", unique_indices=True, indices_are_sorted=True)
+        cl_start = _compact_positions(new_cluster, cl_id, nc, p_cap)
         # A cluster never crosses its segment, and every point of a candidate
         # segment is a candidate (candidacy is per segment; padding sorts to
         # the tail), so the range [start, min(next cluster start, segment
