@@ -309,27 +309,40 @@ def solve_window(
             j1v, j2v, rs_w, sfac, w1, w2, s_cap, nb)
         for delta, blk in bands_s.items():
             _add_band(bands_i, delta, blk)
-        h = _place_block_bands(bands_i, s_cap, dtype) + d + d.T
+        # (d + d.T) first: the banded part is exactly symmetric (symmetric
+        # per-factor payloads), and a + a^T is exactly symmetric elementwise,
+        # so this order makes H bit-exactly symmetric — which lets the PCG
+        # matvec consume H^T (a free layout bitcast) instead of paying a
+        # 5.3 MB transpose copy per LM iteration to feed the Pallas kernel
+        h = _place_block_bands(bands_i, s_cap, dtype) + (d + d.T)
         g = gs + gi
 
         # gauge/padding masking -> identity rows/cols, zero gradient
         fm = free.astype(dtype)
         h = h * fm[:, None] * fm[None, :] + jnp.diag(1.0 - fm)
         g = g * fm
-        return h, g
+        # undamped diagonal 12x12 blocks, extracted once per re-linearization
+        # (the damped preconditioner inverse is rebuilt per LM iteration from
+        # these — tiny VPU work — instead of re-reading H each iteration)
+        db = pcg_pallas.extract_diag_blocks(h, s_cap)
+        return h, g, db
 
     def lm_step(state):
         # LM with Nielsen's gain-ratio schedule (Madsen/Nielsen/Tingleff):
         # (H, g) belong to the current accepted point; rejected steps only
         # regrow lambda and re-solve — no re-linearization
-        cor_flat, lam, nu, cost, h, g, k, done = state
+        cor_flat, lam, nu, cost, h, g, db, k, done = state
         d = jnp.clip(jnp.diag(h), 1e-6, 1e32)
         if use_fused_pcg:
             # single Pallas kernel: H + preconditioner stay VMEM-resident for
-            # all iterations (ops/pcg_pallas.py); damping folded into the matvec
+            # all iterations (ops/pcg_pallas.py); damping folded into the
+            # matvec. H is bit-exactly symmetric (build_normal_eqs), so the
+            # kernel gets H^T — with H carried column-major that transpose is
+            # a layout bitcast, not a copy
             dlam = lam * d
-            minv = pcg_pallas.block_diag_inverse(h, dlam, s_cap)
-            delta = pcg_pallas.pcg_solve_fused(h, dlam, minv, -g,
+            minv = pcg_pallas.batched_small_inverse(
+                db + jax.vmap(jnp.diag)(dlam.reshape(s_cap, 12)))
+            delta = pcg_pallas.pcg_solve_fused(jnp.swapaxes(h, 0, 1), dlam, minv, -g,
                                                iters=pcg_iters, tol=pcg_tol)
         elif linear_solver in ("pcg", "pcg_xla"):
             h_damped = h + lam * jnp.diag(d)
@@ -354,20 +367,20 @@ def solve_window(
         nu_out = jnp.where(accept, jnp.asarray(2.0, dtype), nu * 2.0)
         lam_out = jnp.clip(lam_out, 1e-12, 1e10)
         # re-linearize only after an accepted, non-final step
-        h_out, g_out = jax.lax.cond(
-            accept & ~new_done, build_normal_eqs, lambda _: (h, g), cor_out
+        h_out, g_out, db_out = jax.lax.cond(
+            accept & ~new_done, build_normal_eqs, lambda _: (h, g, db), cor_out
         )
-        return cor_out, lam_out, nu_out, cost_out, h_out, g_out, k + 1, done | new_done
+        return cor_out, lam_out, nu_out, cost_out, h_out, g_out, db_out, k + 1, done | new_done
 
     def cond(state):
-        return (state[6] < max_iterations) & ~state[7]
+        return (state[7] < max_iterations) & ~state[8]
 
     cor0 = sample.cor.reshape(-1)
     cost0 = eval_cost(cor0)
-    h0, g0 = build_normal_eqs(cor0)
+    h0, g0, db0 = build_normal_eqs(cor0)
     init = (cor0, jnp.asarray(init_lambda, dtype), jnp.asarray(2.0, dtype), cost0, h0, g0,
-            jnp.asarray(0, jnp.int32), jnp.asarray(False))
-    cor_fin, _, _, cost_fin, _, _, iters, _ = jax.lax.while_loop(cond, lm_step, init)
+            db0, jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    cor_fin, _, _, cost_fin, _, _, _, iters, _ = jax.lax.while_loop(cond, lm_step, init)
 
     out = sample.replace(cor=cor_fin.reshape(s_cap, 12))
     return out, SolveStats(iterations=iters, initial_cost=cost0, final_cost=cost_fin)
