@@ -169,12 +169,20 @@ def _surfel_normal_eqs(j1v, j2v, rs_w, fac, w1, w2, s_cap, nb):
     _add_band(bands, 1, tdiag[:, 1])
     _add_band(bands, -1, _shift_down(tdiag[:, 1], 1))
 
-    # cross term over the binary rows: expand each side once, one MXU product
+    # cross term over the binary rows: expand each side once, one MXU product.
+    # Precision HIGH (3-pass bf16), not HIGHEST (6-pass): the 3-pass product
+    # error (~2^-22 relative) sits BELOW the f32 accumulation noise of this
+    # 8192-term contraction (~sqrt(N) * 2^-24 ~ 5e-6 relative), so HIGH is
+    # statistically indistinguishable from HIGHEST here at half the MXU cost.
+    # The round-2 corridor hazard (MEASUREMENTS.md) was the one-pass bf16
+    # DEFAULT, 4000x coarser; validated on the weak-observability TPU regimes
+    # (doored ramp corridor, cylinder — ATE unchanged within jitter).
     b1 = jnp.einsum("ms,mj->msj", w1[:nb], j1v[:nb],
                     precision=hp).reshape(nb, S * 12)
     b2 = jnp.einsum("ms,mj->msj", w2[:nb], j2v[:nb],
                     precision=hp).reshape(nb, S * 12)
-    d = jnp.dot(b1.T, b2, precision=hp, preferred_element_type=dtype)
+    d = jnp.dot(b1.T, b2, precision=jax.lax.Precision.HIGH,
+                preferred_element_type=dtype)
 
     return bands, d, g
 
