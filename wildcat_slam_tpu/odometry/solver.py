@@ -331,8 +331,11 @@ def solve_window(
         g = g * fm
         # undamped diagonal 12x12 blocks, extracted once per re-linearization
         # (the damped preconditioner inverse is rebuilt per LM iteration from
-        # these — tiny VPU work — instead of re-reading H each iteration)
-        db = pcg_pallas.extract_diag_blocks(h, s_cap)
+        # these — tiny VPU work — instead of re-reading H each iteration).
+        # Only the fused-PCG path consumes them; the portable paths extract
+        # their own damped blocks and must not pay the O(N^2) reduce here.
+        db = (pcg_pallas.extract_diag_blocks(h, s_cap) if use_fused_pcg
+              else jnp.zeros((0,), dtype))
         return h, g, db
 
     def lm_step(state):
@@ -348,8 +351,7 @@ def solve_window(
             # kernel gets H^T — with H carried column-major that transpose is
             # a layout bitcast, not a copy
             dlam = lam * d
-            minv = pcg_pallas.batched_small_inverse(
-                db + jax.vmap(jnp.diag)(dlam.reshape(s_cap, 12)))
+            minv = pcg_pallas.block_diag_inverse(h, dlam, s_cap, diag_blocks=db)
             delta = pcg_pallas.pcg_solve_fused(jnp.swapaxes(h, 0, 1), dlam, minv, -g,
                                                iters=pcg_iters, tol=pcg_tol)
         elif linear_solver in ("pcg", "pcg_xla"):

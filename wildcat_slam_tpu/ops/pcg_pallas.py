@@ -128,8 +128,12 @@ def extract_diag_blocks(h, s_cap: int):
     return (h * mask).reshape(s_cap, 12, s_cap, 12).sum(axis=2)
 
 
-def block_diag_inverse(h, dlam, s_cap: int):
+def block_diag_inverse(h, dlam, s_cap: int, diag_blocks=None):
     """(S, 12, 12) inverses of the damped 12x12 diagonal blocks of H — the
-    block-Jacobi preconditioner, applied blockwise inside the kernel."""
-    diag_blocks = extract_diag_blocks(h, s_cap) + jax.vmap(jnp.diag)(dlam.reshape(s_cap, 12))
-    return batched_small_inverse(diag_blocks)
+    block-Jacobi preconditioner, applied blockwise inside the kernel.
+    ``diag_blocks``: optional precomputed UNDAMPED diagonal blocks (the solver
+    extracts them once per re-linearization and re-damps per LM iteration)."""
+    if diag_blocks is None:
+        diag_blocks = extract_diag_blocks(h, s_cap)
+    return batched_small_inverse(
+        diag_blocks + jax.vmap(jnp.diag)(dlam.reshape(s_cap, 12)))
