@@ -56,3 +56,20 @@ class TestFusedPcg:
                                        jnp.zeros(s_cap * 12, jnp.float32),
                                        iters=24, tol=1e-6, interpret=True)
         np.testing.assert_array_equal(np.asarray(x), 0.0)
+
+
+class TestVmemGate:
+    def test_shipped_capacity_fits(self):
+        assert pcg_pallas.fits_vmem(96)
+
+    def test_oversized_capacity_falls_back(self):
+        # S=256 (N=3072) measured 68.6 MB scoped VMEM on v5e against the 64 MB
+        # limit -> TPU compile error without the gate (sample_dt=0.04 configs)
+        assert not pcg_pallas.fits_vmem(256)
+
+    def test_gate_is_monotone(self):
+        fits = [pcg_pallas.fits_vmem(s) for s in range(8, 512, 8)]
+        assert fits[0] and not fits[-1]
+        # once it stops fitting it never fits again
+        first_no = fits.index(False)
+        assert not any(fits[first_no:])

@@ -279,11 +279,14 @@ def solve_window(
     w_interp = fmod.interp_weights(sfac, s_cap, dtype)
 
     # the fused Pallas PCG runs on real TPU backends only ("pcg_xla" forces the
-    # portable lax.while_loop path; CPU tests and f64 always use it)
+    # portable lax.while_loop path; CPU tests and f64 always use it), and only
+    # when the whole solve fits scoped VMEM (oversized sample capacities fall
+    # back to the HBM-streaming XLA PCG instead of failing to compile)
     use_fused_pcg = (
         linear_solver == "pcg"
         and dtype == jnp.float32
         and jax.devices()[0].platform == "tpu"
+        and pcg_pallas.fits_vmem(s_cap)
     )
 
     def eval_cost(cor_flat):

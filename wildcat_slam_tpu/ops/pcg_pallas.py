@@ -76,6 +76,21 @@ def _pcg_kernel(iters: int, tol: float, s_cap: int, h_ref, dlam_ref, minv_ref,
     x_ref[:] = x
 
 
+def fits_vmem(s_cap: int) -> bool:
+    """True when the whole-solve kernel fits the 64 MB scoped-VMEM ceiling.
+
+    The dominant resident is H ((S*12)^2 f32) and the compiler keeps a second
+    stack copy of it through the while-loop body (measured: S=256 -> 68.6 MB
+    scoped allocation, i.e. ~2x H, against a 64 MB limit -> compile error).
+    Budget 2x H + preconditioner + CG vectors against 56 MB so oversized
+    sample-state capacities (e.g. sample_dt=0.04 with max_sample_states=256)
+    fall back to the HBM-streaming XLA PCG instead of failing to compile.
+    """
+    n = s_cap * 12
+    est = 2 * n * n * 4 + s_cap * 144 * 4 + 16 * n * 4
+    return est <= 56 * 1024 * 1024
+
+
 def pcg_solve_fused(h, dlam, minv, b, *, iters: int, tol: float,
                     interpret: bool = False):
     """x ≈ (H + diag(dlam))^-1 b via block-Jacobi PCG, one kernel launch.
