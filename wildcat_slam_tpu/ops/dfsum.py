@@ -17,8 +17,9 @@ channel stays f32 when x64 is disabled. Two schemes are provided:
 
 ``df_prefix`` / ``df_range_sum``
     Blocked two-level layout — the production path. Points are split into
-    blocks of ``block`` (default 1024); each block keeps a plain f32
-    *exclusive in-block* cumsum (rounding confined to eps * |block total|),
+    blocks of ``block`` (default 128 = one MXU tile); each block keeps an f32
+    *exclusive in-block* cumsum computed as a strictly-lower-triangular ones
+    matmul at HIGHEST precision (rounding confined to eps * |block total|),
     and block totals are chained with the double-float scan (B+1 tiny pairs,
     ~2^-46 of the global total). A range sum
 
@@ -76,27 +77,34 @@ class DfPrefix(NamedTuple):
 
     bp_hi: jnp.ndarray   # (B+1, C) double-float block-prefix high words
     bp_lo: jnp.ndarray   # (B+1, C) low words
-    inb: jnp.ndarray     # (N+1, C) exclusive in-block f32 cumsum (row N = 0)
+    inb: jnp.ndarray     # (N, C) exclusive in-block f32 cumsum
     block: int
 
 
-def df_prefix(x: jnp.ndarray, block: int = 1024) -> DfPrefix:
+def df_prefix(x: jnp.ndarray, block: int = 128) -> DfPrefix:
     """Build the blocked prefix structure for range sums over ``x[s:e]``.
 
-    ``x``: (N, C) with N a multiple of ``block`` (the pipeline's point
-    capacities are powers of two). Query with :func:`df_range_sum`.
+    ``x``: (N, C); ``block`` is reduced to the largest power-of-two divisor of
+    N, capped at 128 so the in-block operand is one MXU tile. Query with
+    :func:`df_range_sum`.
     """
     n, c = x.shape
     while n % block:
         block //= 2  # largest power-of-two divisor; block=1 degrades to the
         # full double-float scan over N rows (correct, just slower)
+    block = min(block, 128)
     b = n // block
     xb = x.reshape(b, block, c)
-    # exclusive in-block cumsum: shift the inclusive scan right by one
-    inc = jnp.cumsum(xb, axis=1)
-    inb = jnp.concatenate([jnp.zeros((b, 1, c), x.dtype), inc[:, :-1]], axis=1)
-    inb = jnp.concatenate([inb.reshape(n, c), jnp.zeros((1, c), x.dtype)])
-    totals = inc[:, -1]                                  # (B, C) block totals
+    # Exclusive in-block cumsum as a strictly-lower-triangular ones matmul on
+    # the MXU (HIGHEST = true f32 products with f32 accumulation, same error
+    # class as a sequential f32 cumsum). A jnp.cumsum here lowers to a
+    # multi-pass reduce-window plus layout copies (~0.43 ms/level traced at
+    # (65536, 11)); one matmul pass also yields the exclusive form directly,
+    # killing the shift-row concat copy.
+    sl = jnp.tril(jnp.ones((block, block), x.dtype), -1)
+    inb = jnp.einsum("ij,bjc->bic", sl, xb,
+                     precision=jax.lax.Precision.HIGHEST).reshape(n, c)
+    totals = jnp.sum(xb, axis=1)                         # (B, C) block totals
     hi, lo = df_cumsum(totals, axis=0)                   # tiny: B rows
     bp_hi = jnp.concatenate([jnp.zeros((1, c), x.dtype), hi])
     bp_lo = jnp.concatenate([jnp.zeros((1, c), x.dtype), lo])
@@ -105,9 +113,19 @@ def df_prefix(x: jnp.ndarray, block: int = 1024) -> DfPrefix:
 
 def df_range_sum(pfx: DfPrefix, start, end):
     """Sum of rows [start, end) of the prefixed array; ``start``/``end`` may be
-    integer arrays (broadcast along axis 0). Error ~eps * |block total| +
-    2^-46 * |global total| per channel."""
+    integer arrays (broadcast along axis 0) in [0, N] — index N is the
+    open-ended sentinel (zero in-block contribution, all blocks prefixed).
+    Error ~eps * |block total| + 2^-46 * |global total| per channel."""
+    n = pfx.inb.shape[0]
     sb = start // pfx.block
     eb = end // pfx.block
+
+    def inb_at(i):
+        # sentinel i == N contributes zero (i // block == B picks the full
+        # bp prefix); clamp the gather and mask instead of storing an N+1 row,
+        # whose concat forced a full-table copy
+        v = pfx.inb[jnp.minimum(i, n - 1)]
+        return v * (i < n).astype(v.dtype)[..., None]
+
     return ((pfx.bp_hi[eb] - pfx.bp_hi[sb]) + (pfx.bp_lo[eb] - pfx.bp_lo[sb])
-            + (pfx.inb[end] - pfx.inb[start]))
+            + (inb_at(end) - inb_at(start)))

@@ -27,8 +27,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pcg_kernel(iters: int, tol: float, s_cap: int, h_ref, dlam_ref, minv_ref,
-                b_ref, x_ref):
+def _pcg_kernel(iters: int, tol: float, s_cap: int, precision, h_ref, dlam_ref,
+                minv_ref, b_ref, x_ref):
     h = h_ref[:]
     minv = minv_ref[:]      # (S, 12, 12) damped block inverses
     dlam = dlam_ref[:]      # (N, 1) lam * diag(H) (clipped), the LM damping
@@ -38,10 +38,11 @@ def _pcg_kernel(iters: int, tol: float, s_cap: int, h_ref, dlam_ref, minv_ref,
     tiny = jnp.asarray(1e-30, f32)
 
     def mv(p):
-        # precision=HIGHEST: the MXU f32 dot defaults to one-pass bf16, whose
-        # element noise perturbs every CG iterate on ill-conditioned windows
-        # (same hazard as solver.py's H Gram — MEASUREMENTS.md round 2)
-        return jnp.dot(h, p, precision=jax.lax.Precision.HIGHEST,
+        # never the one-pass bf16 default: its element noise perturbs every CG
+        # iterate on ill-conditioned windows (same hazard as solver.py's H
+        # Gram — MEASUREMENTS.md round 2). The shipped precision is chosen by
+        # a measured A/B at the call site (pcg_solve_fused).
+        return jnp.dot(h, p, precision=precision,
                        preferred_element_type=f32) + dlam * p
 
     def prec(r):
@@ -92,15 +93,18 @@ def fits_vmem(s_cap: int) -> bool:
 
 
 def pcg_solve_fused(h, dlam, minv, b, *, iters: int, tol: float,
-                    interpret: bool = False):
+                    interpret: bool = False, precision=None):
     """x ≈ (H + diag(dlam))^-1 b via block-Jacobi PCG, one kernel launch.
 
     h: (N, N) f32 undamped normal matrix; dlam: (N,) damping diagonal;
     minv: (S, 12, 12) f32 inverses of the damped diagonal blocks; b: (N,) rhs.
+    precision: matvec MXU precision; default HIGHEST (6-pass bf16 = true f32).
     """
     n = h.shape[0]
     s_cap = n // 12
-    kern = functools.partial(_pcg_kernel, iters, tol, s_cap)
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
+    kern = functools.partial(_pcg_kernel, iters, tol, s_cap, precision)
     x = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((n, 1), h.dtype),
