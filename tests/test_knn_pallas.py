@@ -107,6 +107,24 @@ class TestKnnBinsKernel:
                           for a, b in zip(np.asarray(knn), ref)])
         assert recall >= 0.95, recall
 
+    @pytest.mark.full
+    def test_recall_at_gated_shape_density(self):
+        # the kernel only runs past the measured 2^30 crossover (Q=16384,
+        # T=65536+); recall is governed by the k/n_bins collision rate, so a
+        # T=16384 cloud at the SAME n_bins=512 and k=10 is the density proxy
+        # that CPU interpret mode can afford. The ~98% analytic recall claim
+        # (module doc) must hold here, not just on the real-TPU measurement.
+        rng = np.random.default_rng(7)
+        dt = np.pad(_cloud(rng, 16384, spread=12.0), ((0, 0), (0, 2)))
+        dq = dt[:2048]
+        knn, _ = knn_topk_fused(jnp.asarray(dq), jnp.asarray(dt), 10,
+                                n_bins=512, interpret=True)
+        d2 = ((dq[:, None, :].astype(np.float64) - dt[None, :, :]) ** 2).sum(-1)
+        ref = np.argsort(d2, axis=1, kind="stable")[:, :10]
+        recall = np.mean([len(set(a) & set(b)) / 10.0
+                          for a, b in zip(np.asarray(knn), ref)])
+        assert recall >= 0.95, recall
+
     def test_masked_far_targets_never_selected(self):
         rng = np.random.default_rng(3)
         dt = np.pad(_cloud(rng, 256), ((0, 0), (0, 2)))

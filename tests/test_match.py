@@ -166,4 +166,6 @@ class TestKnnSearch:
         idx_e, _ = knn_search(*a, *a, k=10, approx=False)
         idx_a, idx_e = np.asarray(idx_a)[:n], np.asarray(idx_e)[:n]
         recall = np.mean([len(set(ra) & set(re)) / 10.0 for ra, re in zip(idx_a, idx_e)])
-        assert recall >= 0.9
+        # >= the shipped recall_target (0.95, match.py); the realized recall is
+        # ~0.98-0.99, so a regression to the low 0.9s must fail here
+        assert recall >= 0.95, recall

@@ -118,6 +118,38 @@ class WildcatConfig:
     debug_residuals: bool = False  # return post-solve residual vectors per sweep
     dtype: str = "float32"
 
+    def __post_init__(self):
+        """Fail at construction, not at trace time: an invalid iteration count
+        or capacity otherwise surfaces as an opaque KeyError/bad-shape deep in
+        the jitted pipeline (the reference hard-codes these, lio_config.h:39-41,
+        so it has no equivalent failure mode to mirror)."""
+        if self.outer_iter_num_max < 1:
+            raise ValueError(
+                f"outer_iter_num_max must be >= 1, got {self.outer_iter_num_max} "
+                "(the reference hard-codes 1, lio_config.h:40)")
+        if self.inner_iter_num_max < 1:
+            raise ValueError(
+                f"inner_iter_num_max must be >= 1, got {self.inner_iter_num_max}")
+        for name in ("max_points_per_sweep", "max_sample_states", "max_imu_states",
+                     "max_surfels_per_sweep", "max_surfels_sliding",
+                     "max_surfels_fixed", "max_correspondences",
+                     "max_voxels_per_sweep", "max_leaves_per_sweep", "pcg_iters"):
+            v = getattr(self, name)
+            if not isinstance(v, int) or v < 1:
+                raise ValueError(f"{name} must be a positive int, got {v!r}")
+        for name in ("imu_rate", "sample_dt", "sweep_duration",
+                     "sliding_window_duration", "fixed_window_duration",
+                     "voxel_size", "decimate_voxel_size"):
+            v = getattr(self, name)
+            if not v > 0:
+                raise ValueError(f"{name} must be > 0, got {v!r}")
+        if self.linear_solver not in ("pcg", "pcg_xla", "cholesky"):
+            raise ValueError(
+                f"linear_solver must be one of 'pcg', 'pcg_xla', 'cholesky'; "
+                f"got {self.linear_solver!r}")
+        if self.dtype not in ("float32", "float64"):
+            raise ValueError(f"dtype must be 'float32' or 'float64', got {self.dtype!r}")
+
     # ----- Derived cost weights (lio_config.h:42-45) -----
     @property
     def weight_gyr(self) -> float:
