@@ -55,7 +55,7 @@ def main():
         cfg = cfg_
         # return state unchanged; pose outputs are placeholders (host bookkeeping
         # only consumes scalars it can live without during capture)
-        out = dict(packed=jnp.zeros(19, jnp.float32),
+        out = dict(packed=jnp.zeros(22, jnp.float32),
                    pts_world=jnp.zeros((cfg.max_points_per_sweep, 3), dtype),
                    pts_valid=jnp.zeros(cfg.max_points_per_sweep, bool))
         return state, out

@@ -37,7 +37,7 @@ def run_e2e(ablate: str, duration: float) -> float:
         # stub the whole jitted device step: what remains is the host floor —
         # pop_sweep/decimation, feed-array construction, host->device transfer
         def fake_step(state, *args, **kw):
-            return state, dict(packed=jnp.zeros((19,), jnp.float32))
+            return state, dict(packed=jnp.zeros((22,), jnp.float32))
 
         pl.process_sweep = fake_step
     if ablate in ("solve", "match", "extract"):
@@ -45,7 +45,7 @@ def run_e2e(ablate: str, duration: float) -> float:
 
         def fake_solve(sample, sfac, ifac, weights, dt, grav, ff, **kw):
             z = jnp.asarray(0.0, sample.cor.dtype)
-            return sample, sol.SolveStats(jnp.asarray(0, jnp.int32), z, z)
+            return sample, sol.SolveStats(jnp.asarray(0, jnp.int32), z, z, z)
 
         pl.solve_window = fake_solve
     if ablate in ("match", "extract"):

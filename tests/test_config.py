@@ -54,6 +54,13 @@ class TestConfigValidation:
         with pytest.raises(ValueError, match="dtype"):
             WildcatConfig(dtype="bfloat16")
 
+    def test_bad_degeneracy_ratio_rejected(self):
+        with pytest.raises(ValueError, match="degeneracy_warn_ratio"):
+            WildcatConfig(degeneracy_warn_ratio=1.0)
+        with pytest.raises(ValueError, match="degeneracy_warn_ratio"):
+            WildcatConfig(degeneracy_warn_ratio=-0.1)
+        WildcatConfig(degeneracy_warn_ratio=0.0)  # 0 disables — valid
+
     def test_replace_revalidates(self):
         cfg = WildcatConfig()
         with pytest.raises(ValueError, match="outer_iter_num_max"):

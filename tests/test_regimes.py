@@ -130,6 +130,46 @@ class TestGeometryRegimes:
         perp = [np.linalg.norm(e - (e @ d) * d) for e in errs]
         assert max(perp) < 0.03, f"perpendicular error {max(perp)} — not pure gauge drift"
 
+    def test_degeneracy_signal_fires_on_weak_geometry(self):
+        """The health signal (factors.direction_coverage; VERDICT round-3 item
+        1) must FIRE on the known-weak scenes and stay quiet on nominal rooms.
+
+        Measured separation (MEASUREMENTS.md round 4, CPU x64 and TPU agree):
+        nominal rooms hold min(deg_t, deg_r) >= 0.40 on every sweep; the
+        doored corridor opens at deg_trans_ratio ~ 1e-4 (no cross-wall in view
+        yet); the cylinder opens at deg_rot_ratio ~ 8e-4 (yaw about the
+        symmetry axis unobserved). The default warn threshold 0.02 sits two
+        orders under nominal and above the weak scenes' openings."""
+        cfg = _small_cfg()
+        warn = cfg.degeneracy_warn_ratio
+        assert warn > 0
+
+        # nominal room: quiet on every sweep, with margin over the threshold
+        seq = SyntheticSequence(duration=2.5, points_per_scan=3000, room_half=5.0, seed=0)
+        lo = _run(seq, cfg)
+        assert len(lo.stats) >= 4
+        for s in lo.stats:
+            assert not s["degenerate"]
+            assert min(s["deg_trans_ratio"], s["deg_rot_ratio"]) > 0.15, s
+
+        # sparse-door corridor: the translation ratio collapses along the
+        # corridor axis before the first door comes into view
+        seq = SyntheticSequence(duration=2.5, points_per_scan=3000, room_half=8.0,
+                                seed=0, geometry="ramp", door_spacing=10.0)
+        lo = _run(seq, cfg)
+        ratios_t = [s["deg_trans_ratio"] for s in lo.stats]
+        assert min(ratios_t) < warn, ratios_t
+        assert any(s["degenerate"] for s in lo.stats)
+
+        # cylinder (seed 2 — the ~100 mm observability-floor scene from the
+        # precision study): rotation about the symmetry axis is unobserved
+        seq = SyntheticSequence(duration=2.5, points_per_scan=3000, room_half=5.0,
+                                seed=2, geometry="cylinder")
+        lo = _run(seq, cfg)
+        ratios_r = [s["deg_rot_ratio"] for s in lo.stats]
+        assert min(ratios_r) < warn, ratios_r
+        assert any(s["degenerate"] for s in lo.stats)
+
     def test_fast_rotation(self):
         # rot_scale=3: peak body rate ~110 deg/s — undistortion + the 12.5 Hz
         # sample spline must keep up (measured ~10 mm)

@@ -33,6 +33,14 @@ def main(argv=None) -> int:
     ap.add_argument("--lidar-topic", default=None, help="bag lidar topic (default: any PointCloud2)")
     ap.add_argument("--synthetic", type=float, default=None, metavar="SECONDS",
                     help="run on a generated synthetic sequence instead of a dataset")
+    ap.add_argument("--synthetic-geometry", default="room",
+                    choices=["room", "cylinder", "ramp"],
+                    help="synthetic world for --synthetic (cylinder and ramp "
+                         "without doors are degenerate scenes — useful for "
+                         "exercising the health signal)")
+    ap.add_argument("--synthetic-door-spacing", type=float, default=0.0,
+                    metavar="M", help="doorway spacing for --synthetic-geometry "
+                                      "ramp (0 = bare corridor)")
     ap.add_argument("--stream", default=None, metavar="SRC",
                     help="run LIVE from a framed sensor stream (io/stream.py): "
                          "'-' = stdin, 'tcp:HOST:PORT', or a FIFO/file path; "
@@ -108,7 +116,9 @@ def main(argv=None) -> int:
         elif args.synthetic is not None:
             from wildcat_slam_tpu.io.synthetic import SyntheticSequence
 
-            seq = SyntheticSequence(duration=args.synthetic, points_per_scan=6000, room_half=5.0)
+            seq = SyntheticSequence(duration=args.synthetic, points_per_scan=6000,
+                                    room_half=5.0, geometry=args.synthetic_geometry,
+                                    door_spacing=args.synthetic_door_spacing)
             i_imu = 0
             for times, pts in seq.scans:
                 while i_imu < len(seq.imu) and seq.imu[i_imu][0] <= times[-1] + 0.01:
@@ -210,11 +220,14 @@ def main(argv=None) -> int:
                           file=sys.stderr)
                 if args.verbose and lo.sweep_id > before:
                     st = lo.stats[-1]
+                    deg = (" DEGENERATE" if st["degenerate"] else "")
                     print(
                         f"sweep {lo.sweep_id}: surfels={int(st['n_new_surfels'])} "
                         f"pairs={int(st['n_pairs_sld'])}/{int(st['n_pairs_fix'])} "
                         f"iters={int(st['iterations'])} "
-                        f"cost {float(st['initial_cost']):.3f}->{float(st['final_cost']):.3f}",
+                        f"cost {float(st['initial_cost']):.3f}->{float(st['final_cost']):.3f} "
+                        f"deg={float(st['deg_trans_ratio']):.3f}/"
+                        f"{float(st['deg_rot_ratio']):.3f}{deg}",
                         file=sys.stderr,
                     )
             if args.max_sweeps and lo.sweep_id - sweeps0 >= args.max_sweeps:
@@ -228,6 +241,13 @@ def main(argv=None) -> int:
         elapsed = run()
 
     n = lo.sweep_id - sweeps0
+    n_deg = sum(1 for s in lo.stats if s.get("degenerate"))
+    if n_deg:
+        print(f"WARNING: {n_deg}/{len(lo.stats)} sweeps flagged DEGENERATE "
+              f"(direction-coverage ratio < {cfg.degeneracy_warn_ratio}): the "
+              "scene under-constrains some motion direction; poses may drift "
+              "silently there (per-sweep ratios in stats deg_trans_ratio/"
+              "deg_rot_ratio)", file=sys.stderr)
     print(f"{n} sweeps in {elapsed:.2f}s "
           f"({cfg.sweep_duration * n / max(elapsed, 1e-9):.2f}x real-time incl. compile)",
           file=sys.stderr)

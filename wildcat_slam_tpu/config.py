@@ -116,6 +116,17 @@ class WildcatConfig:
     pcg_iters: int = 24
     pcg_tol: float = 1e-2
     debug_residuals: bool = False  # return post-solve residual vectors per sweep
+    # Degeneracy health signal (no reference analog): per sweep the pipeline
+    # computes scale-free direction-coverage ratios in [0, 1] for translation
+    # and rotation (factors.direction_coverage). A sweep whose min ratio falls
+    # below this threshold is flagged `degenerate` in stats — the pose is still
+    # produced, but the geometry under-constrains some motion direction
+    # (corridor without cross walls, rotationally symmetric room) and the
+    # estimate can drift silently there. 0 disables the flag. The default is
+    # calibrated on the validation regimes (MEASUREMENTS.md round 4): nominal
+    # rooms sit at >= 0.15 on both ratios; the known-weak scenes (sparse-door
+    # corridor, cylinder) fall one-plus orders of magnitude below it.
+    degeneracy_warn_ratio: float = 0.02
     dtype: str = "float32"
 
     def __post_init__(self):
@@ -147,6 +158,11 @@ class WildcatConfig:
             raise ValueError(
                 f"linear_solver must be one of 'pcg', 'pcg_xla', 'cholesky'; "
                 f"got {self.linear_solver!r}")
+        if not 0.0 <= self.degeneracy_warn_ratio < 1.0:
+            raise ValueError(
+                f"degeneracy_warn_ratio must be in [0, 1), got "
+                f"{self.degeneracy_warn_ratio!r} (the ratios it thresholds are "
+                "lambda_min/lambda_max values in [0, 1]; 0 disables the flag)")
         if self.dtype not in ("float32", "float64"):
             raise ValueError(f"dtype must be 'float32' or 'float64', got {self.dtype!r}")
 

@@ -209,6 +209,44 @@ def build_surfel_factors(
         )
 
 
+def direction_coverage(fac: SurfelFactors, ref_pos: jnp.ndarray):
+    """Degeneracy health signal: direction coverage of the surfel constraints.
+
+    The reference has no analog — it emits confident poses in weak geometry
+    (corridors between sparse doors, rotationally symmetric rooms) with no
+    warning (lidar_odometry.cc:540-562 solves whatever problem it is given).
+    This diagnostic follows the Zhang & Singh ICRA'16 degeneracy analysis: a
+    surfel factor constrains motion only along its joint normal, so the
+    weighted second-moment matrices of the constraint directions
+
+        D_t = sum_m w_m^2  n_m n_m^T                       (translation)
+        D_r = sum_m w_m^2  c_m c_m^T,  c_m = (x_m - p) x n_m   (rotation)
+
+    measure how well the 3 translation / 3 rotation axes are observed by the
+    current match set (x_m = world center of the optimized-side surfel, p = the
+    current pose position, so levers are window-scale). The scale-free
+    eigenvalue ratios lambda_min/lambda_max in [0, 1] are the health signal:
+    a corridor with no cross walls drives the translation ratio toward 0 along
+    the corridor axis; a rotationally symmetric scene (cylinder) drives the
+    rotation ratio toward 0 about the symmetry axis. Returns
+    ``(trans_ratio, rot_ratio)`` as scalars; 0 when no factors are active
+    (no lidar constraint at all — maximally degenerate).
+    """
+    dtype = fac.n.dtype
+    w2 = jnp.where(fac.valid, fac.w * fac.w, 0.0).astype(dtype)
+    dt_mat = jnp.einsum("m,mi,mj->ij", w2, fac.n, fac.n)
+    lever = (fac.v2 + fac.p2) - ref_pos[None, :].astype(dtype)
+    c = jnp.cross(lever, fac.n)
+    dr_mat = jnp.einsum("m,mi,mj->ij", w2, c, c)
+
+    def ratio(d):
+        vals, _ = eigh3(d)
+        lo = jnp.maximum(vals[0], 0.0)
+        return lo / jnp.maximum(vals[2], jnp.finfo(dtype).tiny)
+
+    return ratio(dt_mat), ratio(dr_mat)
+
+
 def interp_weights(fac: SurfelFactors, s_cap: int, dtype):
     """(W1, W2): (M, S) bracket-lerp weight matrices, constant through a solve.
 

@@ -158,6 +158,11 @@ def process_sweep(
         sfac = jax.tree_util.tree_map(lambda a, b: jnp.concatenate([a, b], 0), sfac_b, sfac_u)
         ifac = fmod.build_imu_factors(imu, sample, max_factors=cfg.max_imu_states)
 
+        # degeneracy health signal (no reference analog — see
+        # factors.direction_coverage): direction coverage of the match set
+        # around the predicted back pose, computed once per outer iteration
+        deg_t, deg_r = fmod.direction_coverage(sfac, pred_pos)
+
         # 7. solve (cc:540-562)
         weights = (cfg.weight_gyr, cfg.weight_acc, cfg.weight_bg, cfg.weight_ba)
         if cfg.debug_residuals:
@@ -192,6 +197,9 @@ def process_sweep(
             # loss to the static capacities must be visible, not silent)
             n_surfels_dropped=sweep_surf["n_dropped"],
             n_pairs_dropped=drop_s + drop_f,
+            deg_trans_ratio=deg_t,
+            deg_rot_ratio=deg_r,
+            lm_lambda_final=sstats.lambda_final,
         )
 
         # 8. post-solve updates (cc:564-566)
@@ -253,6 +261,9 @@ def process_sweep(
         jnp.stack([
             stats["n_surfels_dropped"].astype(jnp.float32),           # 17
             stats["n_pairs_dropped"].astype(jnp.float32),             # 18
+            stats["deg_trans_ratio"].astype(jnp.float32),             # 19
+            stats["deg_rot_ratio"].astype(jnp.float32),               # 20
+            stats["lm_lambda_final"].astype(jnp.float32),             # 21
         ]),
     ])
     outputs = dict(packed=packed, pts_world=pts_world_final, pts_valid=pts_valid)
@@ -346,12 +357,16 @@ class LidarOdometry:
         for (back, _, host_stats), v in zip(pending, fetched):
             v = np.asarray(v, np.float64)
             self._trajectory.append((back, v[0:3], v[3:7]))
+            warn = self.cfg.degeneracy_warn_ratio
             self._stats.append(dict(
                 shift=v[7], iterations=int(v[8]), initial_cost=v[9],
                 final_cost=v[10], n_new_surfels=int(v[11]),
                 n_pairs_sld=int(v[12]), n_pairs_fix=int(v[13]),
                 pose_pos_pred=v[14:17],
                 n_surfels_dropped=int(v[17]), n_pairs_dropped=int(v[18]),
+                deg_trans_ratio=v[19], deg_rot_ratio=v[20],
+                lm_lambda_final=v[21],
+                degenerate=bool(warn > 0 and min(v[19], v[20]) < warn),
                 **host_stats,
             ))
 

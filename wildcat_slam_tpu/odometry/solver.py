@@ -191,6 +191,11 @@ class SolveStats(NamedTuple):
     iterations: jnp.ndarray
     initial_cost: jnp.ndarray
     final_cost: jnp.ndarray
+    # final LM damping: lambda that keeps growing across iterations means the
+    # quadratic model is untrustworthy — a cheap ill-conditioning symptom that
+    # complements factors.direction_coverage (part of the degeneracy health
+    # signal; the reference exposes nothing comparable)
+    lambda_final: jnp.ndarray
 
 
 def _pcg_solve(h: jnp.ndarray, b: jnp.ndarray, s_cap: int, iters: int, tol: float):
@@ -393,10 +398,11 @@ def solve_window(
     h0, g0, db0 = build_normal_eqs(cor0)
     init = (cor0, jnp.asarray(init_lambda, dtype), jnp.asarray(2.0, dtype), cost0, h0, g0,
             db0, jnp.asarray(0, jnp.int32), jnp.asarray(False))
-    cor_fin, _, _, cost_fin, _, _, _, iters, _ = jax.lax.while_loop(cond, lm_step, init)
+    cor_fin, lam_fin, _, cost_fin, _, _, _, iters, _ = jax.lax.while_loop(cond, lm_step, init)
 
     out = sample.replace(cor=cor_fin.reshape(s_cap, 12))
-    return out, SolveStats(iterations=iters, initial_cost=cost0, final_cost=cost_fin)
+    return out, SolveStats(iterations=iters, initial_cost=cost0, final_cost=cost_fin,
+                           lambda_final=lam_fin)
 
 
 def residual_snapshot(sample, sfac, ifac, weights, dt, grav):
