@@ -65,6 +65,68 @@ class TestProtocol:
         assert all(a <= b + 1e-9 for a, b in zip(times, times[1:]))
 
 
+class TestBoundedQueueReader:
+    """Explicit overload policy (VERDICT round-3 item 4): drop-oldest per type,
+    counted, producer order preserved — mirroring the reference's bounded ROS
+    subscriber queues (wildcat_slam_node.cc:71-72)."""
+
+    @staticmethod
+    def _make_stream(n_imu=10, n_scan=4):
+        buf = io.BytesIO()
+        k = 0
+        for i in range(max(n_imu, n_scan)):
+            if i < n_imu:
+                ws.write_imu(buf, 10.0 + k * 0.01, [float(i), 0, 9.8], [0, 0, 0])
+                k += 1
+            if i < n_scan:
+                ts = 10.0 + k * 0.01 + np.arange(3) * 1e-4
+                ws.write_scan(buf, ts, np.full((3, 3), float(i), np.float32))
+                k += 1
+        ws.write_end(buf)
+        buf.seek(0)
+        return buf
+
+    def test_no_drops_under_capacity(self):
+        buf = self._make_stream()
+        expect = list(ws.read_stream(self._make_stream()))
+        r = ws.BoundedQueueReader(buf, imu_queue=100, scan_queue=100)
+        r.join(30)
+        got = list(r)
+        assert r.dropped == {"imu": 0, "scan": 0}
+        assert len(got) == len(expect)
+        # same events, same producer interleave
+        for g, e in zip(got, expect):
+            assert g[0] == e[0]
+            np.testing.assert_allclose(np.atleast_1d(g[1]), np.atleast_1d(e[1]))
+
+    def test_drop_oldest_counted(self):
+        # reader drains fully before the consumer touches the queues (join):
+        # with bounds 4/2 the oldest 6 IMU and 2 scans must be evicted
+        r = ws.BoundedQueueReader(self._make_stream(n_imu=10, n_scan=4),
+                                  imu_queue=4, scan_queue=2)
+        r.join(30)
+        got = list(r)
+        assert r.dropped == {"imu": 6, "scan": 2}
+        imus = [e for e in got if e[0] == "imu"]
+        scans = [e for e in got if e[0] == "scan"]
+        # the NEWEST survive
+        assert [e[2][0] for e in imus] == [6.0, 7.0, 8.0, 9.0]
+        assert [float(e[2][0, 0]) for e in scans] == [2.0, 3.0]
+        # and the merged output is still time-ordered (drop-oldest never
+        # reorders a time-ordered stream)
+        times = [e[1] if e[0] == "imu" else e[1][0] for e in got]
+        assert times == sorted(times)
+
+    def test_truncated_source_error_surfaces_on_consumer(self):
+        buf = io.BytesIO()
+        ws.write_imu(buf, 1.0, [0, 0, 9.8], [0, 0, 0])
+        raw = buf.getvalue()[:-3]  # cut mid-frame
+        r = ws.BoundedQueueReader(io.BytesIO(raw), imu_queue=10, scan_queue=10)
+        r.join(30)
+        with pytest.raises(EOFError):
+            list(r)
+
+
 class TestLivePipe:
     def test_live_stream_end_to_end(self, tmp_path):
         """Producer paced at 4x | CLI --stream -: the real live deployment

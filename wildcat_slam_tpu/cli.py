@@ -45,6 +45,13 @@ def main(argv=None) -> int:
                     help="run LIVE from a framed sensor stream (io/stream.py): "
                          "'-' = stdin, 'tcp:HOST:PORT', or a FIFO/file path; "
                          "reports per-sweep latency at exit")
+    ap.add_argument("--stream-imu-queue", type=int, default=100000, metavar="N",
+                    help="bounded IMU queue for --stream (drop-oldest when the "
+                         "consumer lags, mirroring the reference's ROS bound; "
+                         "0 = unbounded, producer backpressure instead)")
+    ap.add_argument("--stream-scan-queue", type=int, default=512, metavar="N",
+                    help="bounded scan queue for --stream (drop-oldest; "
+                         "0 = unbounded, producer backpressure instead)")
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip the pre-stream jit warmup (stream mode compiles "
                          "on the first live sweep instead)")
@@ -108,11 +115,23 @@ def main(argv=None) -> int:
                            use_native=args.native)
     timer = StageTimer()
 
-    def events():
-        if args.stream is not None:
-            from wildcat_slam_tpu.io.stream import open_source, read_stream
+    stream_reader = None  # BoundedQueueReader when --stream runs bounded
 
-            yield from read_stream(open_source(args.stream))
+    def events():
+        nonlocal stream_reader
+        if args.stream is not None:
+            from wildcat_slam_tpu.io.stream import (BoundedQueueReader,
+                                                    open_source, read_stream)
+
+            src = open_source(args.stream)
+            if args.stream_imu_queue > 0 or args.stream_scan_queue > 0:
+                stream_reader = BoundedQueueReader(
+                    src,
+                    imu_queue=args.stream_imu_queue or 10**9,
+                    scan_queue=args.stream_scan_queue or 10**9)
+                yield from stream_reader
+            else:  # both 0: plain blocking reads, producer backpressure
+                yield from read_stream(src)
         elif args.synthetic is not None:
             from wildcat_slam_tpu.io.synthetic import SyntheticSequence
 
@@ -241,6 +260,12 @@ def main(argv=None) -> int:
         elapsed = run()
 
     n = lo.sweep_id - sweeps0
+    if stream_reader is not None and any(stream_reader.dropped.values()):
+        d = stream_reader.dropped
+        print(f"WARNING: stream overload — dropped {d['imu']} IMU and "
+              f"{d['scan']} scan messages (oldest-first; queue bounds "
+              f"{args.stream_imu_queue}/{args.stream_scan_queue}). The "
+              "consumer could not keep up with the producer.", file=sys.stderr)
     n_deg = sum(1 for s in lo.stats if s.get("degenerate"))
     if n_deg:
         print(f"WARNING: {n_deg}/{len(lo.stats)} sweeps flagged DEGENERATE "

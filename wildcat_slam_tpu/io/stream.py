@@ -102,6 +102,91 @@ def read_stream(f: BinaryIO) -> Iterator[Tuple]:
             raise ValueError(f"unknown frame type {typ}")
 
 
+class BoundedQueueReader:
+    """Explicit overload policy for live sources: bounded queues, drop-oldest.
+
+    Over a pipe, ``read_stream`` exerts backpressure — the producer blocks when
+    the pipe fills. That is correct for offline replay but wrong for a live
+    sensor, which cannot pause the world; unbounded buffering on the producer
+    side (or in the kernel socket buffer) just hides the overload. The
+    reference bounds its ROS subscriber queues instead (imu 100000, lidar
+    10000, wildcat_slam_node.cc:71-72; ROS drops the OLDEST message when a
+    bounded queue overflows). This wrapper reproduces that policy: a reader
+    thread drains the source at transport speed into per-type bounded deques;
+    an enqueue onto a full deque evicts the oldest message of that type, and
+    every eviction is counted in ``dropped`` — overload is never silent.
+
+    Iteration yields events in producer order (a monotone sequence number is
+    attached at enqueue and the two queue heads are merged by it), so the
+    consumer sees the same interleave as ``read_stream`` minus the dropped
+    messages — time-ordered streams stay time-ordered after drops.
+
+    Default bounds: the IMU bound mirrors the reference's 100000 (a few MB).
+    The scan bound is deliberately smaller than the reference's 10000 lidar
+    queue — scans are ~100 KB-1 MB each, so 10000 would be gigabytes of
+    hidden buffering; 512 scans is minutes of backlog, far past the point
+    where dropping is the only sane answer.
+    """
+
+    def __init__(self, f: BinaryIO, imu_queue: int = 100000, scan_queue: int = 512):
+        import collections
+        import threading
+
+        self._queues = {"imu": collections.deque(), "scan": collections.deque()}
+        self._bounds = {"imu": int(imu_queue), "scan": int(scan_queue)}
+        self.dropped = {"imu": 0, "scan": 0}
+        self._lock = threading.Lock()
+        self._ready = threading.Event()
+        self._done = False
+        self._error = None
+        self._thread = threading.Thread(target=self._drain, args=(f,), daemon=True)
+        self._thread.start()
+
+    def _drain(self, f: BinaryIO) -> None:
+        seq = 0
+        try:
+            for ev in read_stream(f):
+                kind = ev[0]
+                with self._lock:
+                    q = self._queues[kind]
+                    if len(q) >= self._bounds[kind]:
+                        q.popleft()
+                        self.dropped[kind] += 1
+                    q.append((seq, ev))
+                    seq += 1
+                    self._ready.set()
+        except BaseException as e:  # surfaced on the consumer side
+            self._error = e
+        finally:
+            with self._lock:
+                self._done = True
+                self._ready.set()
+
+    def __iter__(self) -> Iterator[Tuple]:
+        while True:
+            with self._lock:
+                heads = [(q[0][0], k) for k, q in self._queues.items() if q]
+                if heads:
+                    _, kind = min(heads)
+                    _, ev = self._queues[kind].popleft()
+                elif self._done:
+                    if self._error is not None:
+                        raise self._error
+                    return
+                else:
+                    ev = None
+                    self._ready.clear()
+            if ev is not None:
+                yield ev
+            else:
+                self._ready.wait(timeout=1.0)
+
+    def join(self, timeout: float | None = None) -> None:
+        """Wait for the reader thread to finish draining the source (test aid:
+        a joined reader iterates deterministically)."""
+        self._thread.join(timeout)
+
+
 def open_source(src: str) -> BinaryIO:
     """Resolve a --stream source: '-' = stdin, 'tcp:HOST:PORT' = connect,
     anything else = path (regular file or FIFO)."""
