@@ -47,6 +47,7 @@ import jax
 import jax.numpy as jnp
 
 from wildcat_slam_tpu.ops.knn_pallas import knn_topk_fused
+from wildcat_slam_tpu.utils.vma import vary
 
 
 @partial(jax.jit, static_argnames=("k", "approx", "fused"))
@@ -214,8 +215,11 @@ def match_surfels(
             return state[1] & (state[2] < q_cap)
 
         partner0 = jnp.full((q_cap,), no_partner, jnp.int32)
+        # vary(): literal inits must be marked axis-varying under shard_map
+        # check_vma (identity unsharded) — see utils/vma.py
         partner, _, _ = jax.lax.while_loop(
-            fp_cond, fp_body, (partner0, jnp.asarray(True), jnp.asarray(0, jnp.int32)))
+            fp_cond, fp_body,
+            vary(partner0, jnp.asarray(True), jnp.asarray(0, jnp.int32)))
         matched = partner != no_partner
     else:
         # disjoint query/target sets: the dedup can never trigger (each query

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from wildcat_slam_tpu.odometry import factors as fmod
 from wildcat_slam_tpu.odometry.states import SampleStates
 from wildcat_slam_tpu.ops import pcg_pallas
+from wildcat_slam_tpu.utils.vma import vary
 
 
 def _shift_down(a, d):
@@ -235,7 +236,10 @@ def _pcg_solve(h: jnp.ndarray, b: jnp.ndarray, s_cap: int, iters: int, tol: floa
         _, r, _, _, k = state
         return (k < iters) & (jnp.sum(r * r) > tol * tol * b2)
 
-    x, _, _, _, _ = jax.lax.while_loop(cond, body, (x0, r0, p0, rz0, jnp.asarray(0, jnp.int32)))
+    # vary(): the zero x0 and counter are literal inits; under shard_map
+    # check_vma they must be marked axis-varying (identity unsharded)
+    x, _, _, _, _ = jax.lax.while_loop(
+        cond, body, vary(x0, r0, p0, rz0, jnp.asarray(0, jnp.int32)))
     return x
 
 
@@ -342,8 +346,10 @@ def solve_window(
         # these — tiny VPU work — instead of re-reading H each iteration).
         # Only the fused-PCG path consumes them; the portable paths extract
         # their own damped blocks and must not pay the O(N^2) reduce here.
+        # vary(): the empty placeholder is a literal; as a lax.cond output it
+        # must match the varying carry under shard_map check_vma (vma.py)
         db = (pcg_pallas.extract_diag_blocks(h, s_cap) if use_fused_pcg
-              else jnp.zeros((0,), dtype))
+              else vary(jnp.zeros((0,), dtype)))
         return h, g, db
 
     def lm_step(state):
@@ -396,8 +402,10 @@ def solve_window(
     cor0 = sample.cor.reshape(-1)
     cost0 = eval_cost(cor0)
     h0, g0, db0 = build_normal_eqs(cor0)
-    init = (cor0, jnp.asarray(init_lambda, dtype), jnp.asarray(2.0, dtype), cost0, h0, g0,
-            db0, jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    # vary(): lambda/nu/counter/done are literal inits — axis-varying under
+    # shard_map check_vma, identity unsharded (utils/vma.py)
+    init = vary(cor0, jnp.asarray(init_lambda, dtype), jnp.asarray(2.0, dtype), cost0,
+                h0, g0, db0, jnp.asarray(0, jnp.int32), jnp.asarray(False))
     cor_fin, lam_fin, _, cost_fin, _, _, _, iters, _ = jax.lax.while_loop(cond, lm_step, init)
 
     out = sample.replace(cor=cor_fin.reshape(s_cap, 12))

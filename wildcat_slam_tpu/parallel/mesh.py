@@ -31,6 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from wildcat_slam_tpu.config import WildcatConfig
 from wildcat_slam_tpu.odometry import pipeline as pipe
+from wildcat_slam_tpu.utils.vma import vary_axis
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "window") -> Mesh:
@@ -51,21 +52,25 @@ def batched_window_state(cfg: WildcatConfig, batch: int, dtype, mesh: Mesh) -> p
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), state)
 
 
-def _per_shard_loop(inner):
+def _per_shard_loop(inner, axis: str):
     """Wrap an unbatched window function into one that processes its local
     (leading-axis) chunk with a static python loop — real cond/while control
-    flow per window, unlike vmap (see module docstring)."""
+    flow per window, unlike vmap (see module docstring). ``vary_axis`` makes
+    the program's literal loop-carry inits axis-varying while THIS wrapper
+    traces, which is what lets shard_map run with full ``check_vma=True``
+    (utils/vma.py)."""
 
     def fn(state, *args):
         chunk = jax.tree_util.tree_leaves(state)[0].shape[0]
         outs = []
         states = []
-        for i in range(chunk):
-            st_i = jax.tree_util.tree_map(lambda x: x[i], state)
-            args_i = [jax.tree_util.tree_map(lambda x: x[i], a) for a in args]
-            st2, out = inner(st_i, *args_i)
-            states.append(st2)
-            outs.append(out)
+        with vary_axis(axis):
+            for i in range(chunk):
+                st_i = jax.tree_util.tree_map(lambda x: x[i], state)
+                args_i = [jax.tree_util.tree_map(lambda x: x[i], a) for a in args]
+                st2, out = inner(st_i, *args_i)
+                states.append(st2)
+                outs.append(out)
         stack = lambda *xs: jnp.stack(xs)
         return (jax.tree_util.tree_map(stack, *states),
                 jax.tree_util.tree_map(stack, *outs))
@@ -81,15 +86,14 @@ def make_batched_step(cfg: WildcatConfig, mesh: Mesh):
     shard = NamedSharding(mesh, P(axis))
     raw = pipe.process_sweep.__wrapped__  # bind the unjitted fn now
     inner = lambda st, *a: raw(st, *a, cfg)
-    local = _per_shard_loop(inner)
+    local = _per_shard_loop(inner, axis)
 
-    # check_vma off — tracked issue with a 20-line repro in docs/ISSUES.md:
-    # literal-init loop carries (matcher fixed point, LM counters) turn varying
-    # inside the body and the analysis rejects the carry type; there is no
-    # cross-device communication to validate (asserted structurally by
-    # tests/test_mesh_scaling.py: zero collectives in the compiled step)
+    # check_vma=True: the program's literal loop-carry inits (matcher fixed
+    # point, LM counters, PCG zero state) are pcast to axis-varying while
+    # tracing under vary_axis above, so the full varying-manual-axes analysis
+    # runs (the round-3 waiver in docs/ISSUES.md is closed)
     step = jax.shard_map(local, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
-                         check_vma=False)
+                         check_vma=True)
     return jax.jit(step, in_shardings=shard, out_shardings=shard)
 
 
@@ -101,11 +105,12 @@ def make_batched_init(cfg: WildcatConfig, mesh: Mesh):
 
     def local(state, imu_t, imu_acc, imu_gyr):
         chunk = jax.tree_util.tree_leaves(state)[0].shape[0]
-        outs = [raw(jax.tree_util.tree_map(lambda x: x[i], state),
-                    imu_t[i], imu_acc[i], imu_gyr[i], cfg)
-                for i in range(chunk)]
+        with vary_axis(axis):
+            outs = [raw(jax.tree_util.tree_map(lambda x: x[i], state),
+                        imu_t[i], imu_acc[i], imu_gyr[i], cfg)
+                    for i in range(chunk)]
         return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
 
     init = jax.shard_map(local, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
-                         check_vma=False)
+                         check_vma=True)
     return jax.jit(init, in_shardings=(shard,) * 4, out_shardings=shard)
