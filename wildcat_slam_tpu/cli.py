@@ -85,6 +85,10 @@ def main(argv=None) -> int:
                     help="save full odometry state at exit (resume with --resume)")
     ap.add_argument("--resume", default=None, metavar="NPZ",
                     help="resume from a --checkpoint-out file (its config wins)")
+    ap.add_argument("--strict", action="store_true",
+                    help="abort on out-of-order sensor messages instead of "
+                         "dropping them (the library contract; the CLI default "
+                         "tolerates real-world bag quirks with counted drops)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -202,17 +206,40 @@ def main(argv=None) -> int:
 
             save_tum(args.traj_out, lo.trajectory)
 
+    # Field-quirk policy (documented; tests/test_rosbag.py::TestFieldQuirks):
+    # real bags contain occasional duplicate/backward IMU stamps and late
+    # scans (recorder races, chunk reordering). The LIBRARY keeps its hard
+    # ValueError — time order is the add_imu/add_scan contract — while the
+    # CLI, like the reference's ROS subscriber path which never aborts on a
+    # late message, DROPS the offending message and counts it. --strict
+    # restores the raise. Within-scan point disorder never reaches here: the
+    # bag parser normalizes it by a stable per-message time sort
+    # (io/rosbag.py _parse_pointcloud2), matching ROS drivers' semantics.
+    ooo_dropped = {"imu": 0, "scan": 0}
+
+    def feed(ev):
+        kind = ev[0]
+        try:
+            if kind == "imu":
+                lo.add_imu(ev[1], ev[2], ev[3])
+            else:
+                lo.add_scan(ev[1], ev[2])
+        except ValueError:
+            if args.strict:
+                raise
+            ooo_dropped[kind] += 1
+
     def run():
         t0 = time.perf_counter()
         for ev in events():
             if ev[0] == "imu":
                 with timer.stage("imu"):
-                    lo.add_imu(ev[1], ev[2], ev[3])
+                    feed(ev)
             else:
                 t_recv = time.perf_counter()
                 before = lo.sweep_id
                 with timer.stage("scan"):
-                    lo.add_scan(ev[1], ev[2])
+                    feed(ev)
                 if args.stream is not None and lo.sweep_id > before:
                     lo.trajectory  # force the deferred fetch: pose is now real
                     latencies.append(time.perf_counter() - t_recv)
@@ -260,6 +287,10 @@ def main(argv=None) -> int:
         elapsed = run()
 
     n = lo.sweep_id - sweeps0
+    if any(ooo_dropped.values()):
+        print(f"WARNING: dropped {ooo_dropped['imu']} out-of-order IMU and "
+              f"{ooo_dropped['scan']} out-of-order scan messages (duplicate or "
+              "backward timestamps; --strict aborts instead)", file=sys.stderr)
     if stream_reader is not None and any(stream_reader.dropped.values()):
         d = stream_reader.dropped
         print(f"WARNING: stream overload — dropped {d['imu']} IMU and "

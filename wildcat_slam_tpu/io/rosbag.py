@@ -35,26 +35,41 @@ _OP_CHUNK_INFO = 0x06
 def _parse_header(buf: bytes) -> dict:
     fields = {}
     off = 0
-    while off < len(buf):
+    n = len(buf)
+    while off < n:
+        if off + 4 > n:
+            raise ValueError("corrupt record header: truncated field length")
         (flen,) = struct.unpack_from("<I", buf, off)
         off += 4
+        if off + flen > n:
+            raise ValueError("corrupt record header: field runs past the buffer")
         entry = buf[off : off + flen]
         off += flen
         k, _, v = entry.partition(b"=")
-        fields[k.decode()] = v
+        fields[k.decode(errors="replace")] = v
     return fields
 
 
 def _records(buf: bytes) -> Iterator[Tuple[dict, bytes]]:
+    """Iterate (header, data) records of a decompressed chunk. Malformed
+    structure (lengths running past the buffer — bit rot, a bad disk, a
+    corrupted transfer) raises ValueError rather than yielding garbage or
+    crashing with a struct.error (tests/test_rosbag.py::TestCorruption)."""
     off = 0
     n = len(buf)
     while off + 4 <= n:
         (hlen,) = struct.unpack_from("<I", buf, off)
         off += 4
+        if off + hlen + 4 > n:
+            raise ValueError(f"corrupt chunk: record header at {off - 4} "
+                             "runs past the chunk")
         header = _parse_header(buf[off : off + hlen])
         off += hlen
         (dlen,) = struct.unpack_from("<I", buf, off)
         off += 4
+        if off + dlen > n:
+            raise ValueError(f"corrupt chunk: record data at {off - 4} "
+                             "runs past the chunk")
         data = buf[off : off + dlen]
         off += dlen
         yield header, data
@@ -142,7 +157,10 @@ def _decompress_chunk(header: dict, data: bytes) -> bytes:
     if compression == "none":
         return data
     if compression == "bz2":
-        return bz2.decompress(data)
+        try:
+            return bz2.decompress(data)
+        except OSError as e:
+            raise ValueError(f"corrupt bz2 chunk: {e}") from e
     if compression == "lz4":
         try:
             import lz4.frame
@@ -218,14 +236,24 @@ def read_bag(
                 data = f.read(dlen)
                 if len(data) < dlen:
                     raise ValueError(f"{path}: truncated chunk at offset {pos}")
-                for h2, d2 in _records(_decompress_chunk(header, data)):
-                    op2 = h2.get("op", b"\x00")[0]
-                    if op2 == _OP_CONNECTION:
-                        handle_connection(h2, d2)
-                    elif op2 == _OP_MESSAGE:
-                        ev = handle_message(h2, d2)
-                        if ev is not None:
-                            yield ev
+                try:
+                    for h2, d2 in _records(_decompress_chunk(header, data)):
+                        op2 = h2.get("op", b"\x00")[0]
+                        if op2 == _OP_CONNECTION:
+                            handle_connection(h2, d2)
+                        elif op2 == _OP_MESSAGE:
+                            ev = handle_message(h2, d2)
+                            if ev is not None:
+                                yield ev
+                except struct.error as e:
+                    # garbage inside a structurally-plausible record (message
+                    # deserialization ran off the end)
+                    raise ValueError(
+                        f"{path}: corrupt message in chunk at offset {pos}: {e}"
+                    ) from e
+                except ValueError as e:
+                    raise ValueError(
+                        f"{path}: chunk at offset {pos}: {e}") from e
             elif op == _OP_MESSAGE:  # unchunked message (legal, rare)
                 data = f.read(dlen)
                 if len(data) < dlen:
@@ -343,12 +371,15 @@ def _ser_pointcloud2(times: np.ndarray, pts: np.ndarray, layout: str = "hilti") 
 def write_bag(path: str, events, imu_topic="/alphasense/imu", lidar_topic="/hesai/pandar",
               compression: str = "none", layout: str = "hilti",
               messages_per_chunk: int = 0) -> None:
-    """events: iterable of ("imu", t, acc, gyr) | ("scan", times, points).
+    """events: iterable of ("imu", t, acc, gyr) | ("scan", times, points) |
+    ("other", t, raw_bytes) — the last writes a message of an unrelated type
+    (nav_msgs/Odometry) on its own topic, for reader skip-coverage tests.
 
     ``compression``: "none" | "bz2" per chunk. ``layout``: PointCloud2 field
     layout (see _ser_pointcloud2). ``messages_per_chunk`` > 0 splits the stream
     into multiple chunks of that many messages (0 = single chunk)."""
-    conns = {imu_topic: (0, "sensor_msgs/Imu"), lidar_topic: (1, "sensor_msgs/PointCloud2")}
+    conns = {imu_topic: (0, "sensor_msgs/Imu"), lidar_topic: (1, "sensor_msgs/PointCloud2"),
+             "/odom_extra": (2, "nav_msgs/Odometry")}
     conn_records = b""
     for topic, (cid, mtype) in conns.items():
         conn_hdr = _header({"topic": topic.encode(), "type": mtype.encode(),
@@ -356,34 +387,44 @@ def write_bag(path: str, events, imu_topic="/alphasense/imu", lidar_topic="/hesa
         conn_records += _record({"op": bytes([_OP_CONNECTION]), "conn": struct.pack("<I", cid),
                                  "topic": topic.encode()}, conn_hdr)
 
-    chunks = []
-    cur = [conn_records]
-    n_in_cur = 0
-    for ev in events:
-        if ev[0] == "imu":
-            _, t, acc, gyr = ev
-            cur.append(_record({"op": bytes([_OP_MESSAGE]),
-                                "conn": struct.pack("<I", 0), "time": _ros_time(t)},
-                               _ser_imu(t, acc, gyr)))
-        else:
-            _, times, pts = ev
-            cur.append(_record({"op": bytes([_OP_MESSAGE]),
-                                "conn": struct.pack("<I", 1),
-                                "time": _ros_time(float(times[0]) if len(times) else 0.0)},
-                               _ser_pointcloud2(np.asarray(times), np.asarray(pts), layout)))
-        n_in_cur += 1
-        if messages_per_chunk and n_in_cur >= messages_per_chunk:
-            chunks.append(b"".join(cur))
-            cur, n_in_cur = [], 0
-    if cur:
-        chunks.append(b"".join(cur))
-
+    # chunks stream to disk as they fill — only one chunk is ever resident,
+    # so multi-GB test bags (TestSoak) write in bounded memory. chunk_count
+    # in the bag header is left 0 (readers that honor it re-scan; ours
+    # iterates records directly).
     with open(path, "wb") as f:
         f.write(b"#ROSBAG V2.0\n")
         f.write(_record({"op": bytes([_OP_BAG_HEADER]), "index_pos": struct.pack("<Q", 0),
                          "conn_count": struct.pack("<I", len(conns)),
-                         "chunk_count": struct.pack("<I", len(chunks))}, b" " * 4096))
-        for chunk in chunks:
+                         "chunk_count": struct.pack("<I", 0)}, b" " * 4096))
+
+        def flush(parts):
+            chunk = b"".join(parts)
             payload = bz2.compress(chunk) if compression == "bz2" else chunk
             f.write(_record({"op": bytes([_OP_CHUNK]), "compression": compression.encode(),
                              "size": struct.pack("<I", len(chunk))}, payload))
+
+        cur = [conn_records]
+        n_in_cur = 0
+        for ev in events:
+            if ev[0] == "imu":
+                _, t, acc, gyr = ev
+                cur.append(_record({"op": bytes([_OP_MESSAGE]),
+                                    "conn": struct.pack("<I", 0), "time": _ros_time(t)},
+                                   _ser_imu(t, acc, gyr)))
+            elif ev[0] == "other":
+                _, t, raw = ev
+                cur.append(_record({"op": bytes([_OP_MESSAGE]),
+                                    "conn": struct.pack("<I", 2), "time": _ros_time(t)},
+                                   bytes(raw)))
+            else:
+                _, times, pts = ev
+                cur.append(_record({"op": bytes([_OP_MESSAGE]),
+                                    "conn": struct.pack("<I", 1),
+                                    "time": _ros_time(float(times[0]) if len(times) else 0.0)},
+                                   _ser_pointcloud2(np.asarray(times), np.asarray(pts), layout)))
+            n_in_cur += 1
+            if messages_per_chunk and n_in_cur >= messages_per_chunk:
+                flush(cur)
+                cur, n_in_cur = [], 0
+        if cur:
+            flush(cur)
