@@ -25,6 +25,103 @@ import time
 import numpy as np
 
 
+def _batch_events(spec: str, imu_topic, lidar_topic):
+    """One segment source for --batch: dataset dir | .bag |
+    'synthetic:SECONDS[:GEOMETRY[:SEED]]'."""
+    if spec.split(":")[0] == "synthetic":
+        parts = spec.split(":")
+        dur = float(parts[1]) if len(parts) > 1 else 8.0
+        geom = parts[2] if len(parts) > 2 else "room"
+        seed = int(parts[3]) if len(parts) > 3 else 0
+        from wildcat_slam_tpu.io.synthetic import SyntheticSequence
+
+        seq = SyntheticSequence(duration=dur, points_per_scan=6000, room_half=5.0,
+                                geometry=geom, seed=seed)
+
+        def gen():
+            i_imu = 0
+            for times, pts in seq.scans:
+                while i_imu < len(seq.imu) and seq.imu[i_imu][0] <= times[-1] + 0.01:
+                    yield ("imu", *seq.imu[i_imu])
+                    i_imu += 1
+                yield ("scan", times, pts)
+
+        return gen()
+    if spec.endswith(".bag"):
+        from wildcat_slam_tpu.io.rosbag import read_bag
+
+        return read_bag(spec, imu_topic, lidar_topic)
+    from wildcat_slam_tpu.io.dataset import Dataset
+
+    return Dataset(spec)
+
+
+def _run_batch(args, cfg) -> int:
+    """--batch driver: B segments in lockstep through the sharded step."""
+    import jax
+
+    from wildcat_slam_tpu.parallel.batch import BatchedOdometry
+
+    specs = [s.strip() for s in args.batch.split(",") if s.strip()]
+    for s in specs:
+        if s.split(":")[0] != "synthetic" and not os.path.exists(s):
+            print(f"--batch: no such source: {s}", file=sys.stderr)
+            return 2
+    bo = BatchedOdometry(cfg, batch=len(specs), use_native=args.native)
+    print(f"batch: {len(specs)} windows over a {bo.mesh.devices.size}-device "
+          f"mesh ({jax.devices()[0].platform})", file=sys.stderr)
+
+    its = [_batch_events(s, args.imu_topic, args.lidar_topic) for s in specs]
+    live = [True] * len(its)
+    t0 = time.perf_counter()
+    while any(live):
+        for i, it in enumerate(its):
+            if not live[i]:
+                continue
+            for ev in it:  # feed through the next scan of segment i
+                if ev[0] == "imu":
+                    bo.add_imu(i, ev[1], ev[2], ev[3])
+                else:
+                    bo.add_scan(i, ev[1], ev[2])
+                    break
+            else:
+                live[i] = False
+        bo.pump()
+        if args.max_sweeps and min(w.sweep_id for w in bo.windows) >= args.max_sweeps:
+            live = [False] * len(its)
+            break
+    if not (args.max_sweeps and min(w.sweep_id for w in bo.windows) >= args.max_sweeps):
+        bo.finish()
+    elapsed = time.perf_counter() - t0
+
+    total = sum(w.sweep_id for w in bo.windows)
+    for i, w in enumerate(bo.windows):
+        n_deg = sum(1 for s in w.stats if s.get("degenerate"))
+        print(f"window {i}: {w.sweep_id} sweeps"
+              + (f", {n_deg} DEGENERATE" if n_deg else ""), file=sys.stderr)
+    print(f"batch total: {total} sweeps in {elapsed:.2f}s "
+          f"({cfg.sweep_duration * total / max(elapsed, 1e-9):.2f}x real-time "
+          "incl. compile, all windows)", file=sys.stderr)
+
+    if args.traj_out:
+        from wildcat_slam_tpu.io.trajectory import save_tum
+
+        base, ext = os.path.splitext(args.traj_out)
+        for i, w in enumerate(bo.windows):
+            if w.trajectory:
+                save_tum(f"{base}_w{i}{ext or '.tum'}", w.trajectory)
+        print(f"trajectories -> {base}_w*.{(ext or '.tum').lstrip('.')}",
+              file=sys.stderr)
+    if args.surfels_out:
+        from wildcat_slam_tpu.viz.surfel_export import save_surfels_ply
+
+        base, ext = os.path.splitext(args.surfels_out)
+        for i, w in enumerate(bo.windows):
+            sld_i = jax.tree_util.tree_map(lambda x, i=i: x[i], bo.state.sld)
+            save_surfels_ply(f"{base}_w{i}{ext or '.ply'}", sld_i)
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="Wildcat-TPU lidar-inertial odometry")
     ap.add_argument("--dataset", help="sequence directory (imu.npz + scans/*.wcs)")
@@ -41,6 +138,13 @@ def main(argv=None) -> int:
     ap.add_argument("--synthetic-door-spacing", type=float, default=0.0,
                     metavar="M", help="doorway spacing for --synthetic-geometry "
                                       "ramp (0 = bare corridor)")
+    ap.add_argument("--batch", default=None, metavar="SRC1,SRC2,...",
+                    help="process B independent segments in lockstep through "
+                         "the sharded multi-window step (parallel/batch.py; "
+                         "one device mesh shard per window). Each SRC is a "
+                         "dataset dir, a .bag file, or 'synthetic:SECONDS"
+                         "[:GEOMETRY[:SEED]]'. --traj-out FILE.tum writes "
+                         "FILE_w0.tum, FILE_w1.tum, ...")
     ap.add_argument("--stream", default=None, metavar="SRC",
                     help="run LIVE from a framed sensor stream (io/stream.py): "
                          "'-' = stdin, 'tcp:HOST:PORT', or a FIFO/file path; "
@@ -100,6 +204,14 @@ def main(argv=None) -> int:
     from wildcat_slam_tpu.config import WildcatConfig
     from wildcat_slam_tpu.odometry.pipeline import LidarOdometry
     from wildcat_slam_tpu.utils.profiling import StageTimer, trace
+
+    if args.batch:
+        if args.resume or args.stream or args.cloud_out or args.checkpoint_out:
+            ap.error("--batch is incompatible with --resume/--stream/"
+                     "--cloud-out/--checkpoint-out")
+        cfg = WildcatConfig(imu_rate=args.imu_rate,
+                            match_knn_approx=not args.exact_knn)
+        return _run_batch(args, cfg)
 
     if args.resume:
         from wildcat_slam_tpu.odometry import checkpoint

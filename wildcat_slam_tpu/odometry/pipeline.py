@@ -328,6 +328,12 @@ class LidarOdometry:
             self.resampler = imu_mod.ImuResampler(cfg.imu_rate)
             self.points = _NumpyPointBuffer(cfg)
         self.use_native = use_native
+        # dispatch=False turns the frontend into a pure host buffer/bookkeeper:
+        # add_scan never runs the device step. The batched driver
+        # (parallel/batch.py) owns the device state and steps B windows at
+        # once through the sharded program, reusing _ready/_prepare_feed/
+        # _commit from here.
+        self.dispatch = True
         self.imu_queue: List[tuple] = []   # resampled (t, acc, gyr), f64
         self._last_raw_imu_t: Optional[float] = None
         self._warned_overflow = False
@@ -412,7 +418,7 @@ class LidarOdometry:
                     f"scan starts at {times[0]:.6f} before the buffered tail "
                     f"{self.points.back_time:.6f}; scans must arrive in time order")
         self.points.add_points(times, np.ascontiguousarray(points_lidar, np.float32))
-        while self._try_process():
+        while self.dispatch and self._try_process():
             pass
 
     # ------------------------------------------------------------- internals
@@ -431,35 +437,73 @@ class LidarOdometry:
         self.synced = True
         return True
 
-    def _try_process(self) -> bool:
+    def _ready(self) -> bool:
+        """True when a complete sweep (and, pre-init, the two bootstrap IMU
+        samples) is buffered. Pure readiness check — no state changes beyond
+        the head sync."""
         cfg = self.cfg
         if not self._sync() or len(self.points) == 0 or not self.imu_queue:
             return False
-
         sweep_end = self.points.front_time + cfg.sweep_duration
         if self.points.back_time < sweep_end:
             return False
         # wait until IMU covers one tick past the last new sample state
         if self.imu_queue[-1][0] < sweep_end + 1.0 / cfg.imu_rate:
             return False
+        if not self.initialized and len(self.imu_queue) < 2:
+            return False
+        return True
+
+    def _init_args(self):
+        """Pop the two bootstrap IMU samples and build the init_window feed
+        (host bookkeeping committed here). Caller must have checked _ready()."""
+        (t0, a0, g0), (t1, a1, g1) = self.imu_queue[0], self.imu_queue[1]
+        np_dtype = self._np_dtype
+        self.epoch = t0
+        args = (np.asarray([0.0, t1 - t0], np_dtype),
+                np.stack([a0, a1]).astype(np_dtype),
+                np.stack([g0, g1]).astype(np_dtype))
+        self.imu_queue = self.imu_queue[2:]
+        self.sample_times = [t0]
+        self.imu_front_time = t0
+        self.initialized = True
+        return args
+
+    def _try_process(self) -> bool:
+        cfg = self.cfg
+        if not self._ready():
+            return False
 
         _tm0 = time.perf_counter()
         if not self.initialized:
-            if len(self.imu_queue) < 2:
-                return False
-            (t0, a0, g0), (t1, a1, g1) = self.imu_queue[0], self.imu_queue[1]
-            self.epoch = t0
-            self.state = init_window(
-                self.state,
-                jnp.asarray([0.0, t1 - t0], self.dtype),
-                jnp.asarray(np.stack([a0, a1]), self.dtype),
-                jnp.asarray(np.stack([g0, g1]), self.dtype),
-                cfg,
-            )
-            self.imu_queue = self.imu_queue[2:]
-            self.sample_times = [t0]
-            self.imu_front_time = t0
-            self.initialized = True
+            self.state = init_window(self.state, *self._init_args(), cfg)
+
+        prep = self._prepare_feed()
+        _tm1 = time.perf_counter()
+        # numpy args go straight into the jitted call: one transfer each inside
+        # the dispatch, no separate asarray/convert round-trips per argument
+        state, out = process_sweep(self.state, *prep["args"], cfg,
+                                   emit_cloud=self.clouds is not None)
+        self.state = state
+        _tm2 = time.perf_counter()
+        self._commit(out, prep["back"], prep["host_stats"])
+        _tm3 = time.perf_counter()
+        self.timing["prep"] += _tm1 - _tm0
+        self.timing["dispatch"] += _tm2 - _tm1
+        self.timing["post"] += _tm3 - _tm2
+        self.timing["sweeps"] += 1
+        return True
+
+    def _prepare_feed(self) -> dict:
+        """Build one sweep's padded feed arrays and commit the sweep's host
+        bookkeeping (queues popped, window-trim counts, epoch rebase). Returns
+        {"args": process_sweep positional args after state, "back": absolute
+        back-sample time, "host_stats": host-side counters}. Caller must have
+        checked _ready() (and initialized the window). Shared verbatim by the
+        single-window path above and the batched driver
+        (parallel/batch.py)."""
+        cfg = self.cfg
+        sweep_end = self.points.front_time + cfg.sweep_duration
 
         # --- new sample states on the exact grid of resampled IMU times ---
         last_sample_t = self.sample_times[-1]
@@ -554,38 +598,51 @@ class LidarOdometry:
         n_imu_drop = max(0, int(round((new_front - self.imu_front_time) * rate)))
         fix_first = self.fix_first
 
-        _tm1 = time.perf_counter()
-        # numpy args go straight into the jitted call: one transfer each inside
-        # the dispatch, no separate asarray/convert round-trips per argument
-        state, out = process_sweep(
-            self.state,
-            imu_t, imu_acc, imu_gyr, np.int32(k_feed),
-            sam_t, np.int32(n_add),
-            p_xyz.astype(np_dtype, copy=False), p_t.astype(np_dtype, copy=False),
-            np.int32(n_pts_cap),
-            np.int32(n_drop), np.int32(n_imu_drop),
-            np.bool_(fix_first),
-            cfg,
-            emit_cloud=self.clouds is not None,
-        )
-        self.state = state
-        _tm2 = time.perf_counter()
-
-        # host bookkeeping updates
+        # host bookkeeping updates (all pure-host values — committed before
+        # dispatch so the batched driver can stack feeds from many windows
+        # before any device call)
         self.sample_times = all_samples[n_drop:]
         self.imu_front_time = new_front
         if n_drop > 0:
             self.fix_first = False
-        shift = float(new_front - self.epoch)
         self.epoch = new_front
 
-        # defer the device->host fetch: add_scan returns right after dispatch so
-        # the next sweep's host-side preparation overlaps this sweep's device
-        # compute; the packed output's transfer starts immediately (async) and
-        # is materialized lazily by the trajectory/stats accessors
+        return dict(
+            args=(imu_t, imu_acc, imu_gyr, np.int32(k_feed),
+                  sam_t, np.int32(n_add),
+                  p_xyz.astype(np_dtype, copy=False), p_t.astype(np_dtype, copy=False),
+                  np.int32(n_pts_cap),
+                  np.int32(n_drop), np.int32(n_imu_drop),
+                  np.bool_(fix_first)),
+            back=back,
+            host_stats=dict(n_points_in=n_avail, n_points_fed=n_pts_cap,
+                            n_points_dropped=n_pts_dropped),
+        )
+
+    def noop_feed(self) -> tuple:
+        """A zero-count feed with the sweep's static shapes: propagates no IMU,
+        adds no sample states or points, trims nothing. Used by the batched
+        driver to keep exhausted windows in lockstep (parallel/batch.py); the
+        device step still runs but every input is masked out."""
+        cfg = self.cfg
+        np_dtype = self._np_dtype
+        kmax = int(cfg.sweep_duration * cfg.imu_rate) + 32
+        amax = int(cfg.sweep_duration / cfg.sample_dt) + 8
+        cap_p = cfg.max_points_per_sweep
+        return (np.zeros((kmax,), np_dtype), np.zeros((kmax, 3), np_dtype),
+                np.zeros((kmax, 3), np_dtype), np.int32(0),
+                np.zeros((amax,), np_dtype), np.int32(0),
+                np.zeros((cap_p, 3), np_dtype), np.zeros((cap_p,), np_dtype),
+                np.int32(0),
+                np.int32(0), np.int32(0), np.bool_(self.fix_first))
+
+    def _commit(self, out: dict, back: float, host_stats: dict) -> None:
+        """Post-dispatch bookkeeping for one sweep: defer the device->host
+        fetch — the caller returns right after dispatch so the next sweep's
+        host-side preparation overlaps this sweep's device compute; the packed
+        output's transfer starts immediately (async) and is materialized
+        lazily by the trajectory/stats accessors."""
         out["packed"].copy_to_host_async()
-        host_stats = dict(n_points_in=n_avail, n_points_fed=n_pts_cap,
-                          n_points_dropped=n_pts_dropped)
         self._pending.append((back, out["packed"], host_stats))
         if "residuals" in out:
             rs, rsv, ri, riv = jax.device_get(out["residuals"])
@@ -601,9 +658,3 @@ class LidarOdometry:
             pts_w, pv = jax.device_get((out["pts_world"], out["pts_valid"]))
             self.clouds.append(np.asarray(pts_w)[np.asarray(pv)])
         self.sweep_id += 1
-        _tm3 = time.perf_counter()
-        self.timing["prep"] += _tm1 - _tm0
-        self.timing["dispatch"] += _tm2 - _tm1
-        self.timing["post"] += _tm3 - _tm2
-        self.timing["sweeps"] += 1
-        return True
