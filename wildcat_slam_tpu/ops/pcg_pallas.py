@@ -38,10 +38,15 @@ def _pcg_kernel(iters: int, tol: float, s_cap: int, precision, h_ref, dlam_ref,
     tiny = jnp.asarray(1e-30, f32)
 
     def mv(p):
-        # never the one-pass bf16 default: its element noise perturbs every CG
-        # iterate on ill-conditioned windows (same hazard as solver.py's H
-        # Gram — MEASUREMENTS.md round 2). The shipped precision is chosen by
-        # a measured A/B at the call site (pcg_solve_fused).
+        # MXU dot at HIGHEST (6-pass bf16 = true f32) — never the one-pass
+        # bf16 default: its element noise perturbs every CG iterate on
+        # ill-conditioned windows (same hazard as solver.py's H Gram —
+        # MEASUREMENTS.md round 2). A VPU matvec (elementwise h * p with a
+        # reduce) was attempted to dodge the 1-wide-rhs MXU inefficiency and
+        # is NOT lowerable: Mosaic hangs compiling the lane-axis reduce for
+        # n >= 384 (3 s at n = 96) and rejects the sublane-axis/row-state
+        # variants with "unsupported shape cast" — see MEASUREMENTS.md
+        # round 4 "fused-PCG VPU matvec: attempted, not lowerable".
         return jnp.dot(h, p, precision=precision,
                        preferred_element_type=f32) + dlam * p
 
@@ -99,6 +104,9 @@ def pcg_solve_fused(h, dlam, minv, b, *, iters: int, tol: float,
     h: (N, N) f32 undamped normal matrix; dlam: (N,) damping diagonal;
     minv: (S, 12, 12) f32 inverses of the damped diagonal blocks; b: (N,) rhs.
     precision: matvec MXU precision; default HIGHEST (6-pass bf16 = true f32).
+    In-kernel the only usable values are HIGHEST and DEFAULT — Mosaic raises
+    NotImplementedError lowering Precision.HIGH inside a kernel, and DEFAULT
+    (one-pass bf16) is excluded by the round-2 corridor hazard (see mv()).
     """
     n = h.shape[0]
     s_cap = n // 12
