@@ -49,6 +49,15 @@ import jax.numpy as jnp
 from wildcat_slam_tpu.ops.knn_pallas import knn_topk_fused
 from wildcat_slam_tpu.utils.vma import vary
 
+# MXU precision of the (Q, 6) x (6, T) distance Gram. The contraction depth is
+# 6 (padded to 128 on the MXU), so redundant lane work x pass count IS the
+# cost of this op: 3-pass HIGH measured recall@10 = 0.9800 vs HIGHEST's 0.9802
+# against an f64-exact ranking at shipped shapes, at 70% of the time (4.01 ->
+# 2.83 ms/search incl. top-k), with regime ATEs identical to noise; one-pass
+# DEFAULT drops recall to 0.9351 — below the 0.95 target (the round-2 ranking
+# hazard, re-measured). benchmarks/ab_match_precision.py, MEASUREMENTS round 4.
+GRAM_PRECISION = jax.lax.Precision.HIGH
+
 
 @partial(jax.jit, static_argnames=("k", "approx", "fused"))
 def knn_search(
@@ -102,14 +111,15 @@ def knn_search(
         # touches HBM (ops/knn_pallas.py; ~98% realized recall vs the 0.95
         # recall_target requested below)
         return knn_topk_fused(dq, dt_, k)
-    # true-f32 Gram: TPU matmuls default to one-pass bf16, whose ~0.4% noise
+    # near-f32 Gram: TPU matmuls default to one-pass bf16, whose ~0.4% noise
     # on d^2 reorders near-equal neighbours — the candidate sets then differ
     # structurally from the exact ranking (measured 70% pair-set divergence
-    # CPU vs TPU on corridor scenes); the contraction depth is only 6, so
-    # HIGHEST costs nothing
+    # CPU vs TPU on corridor scenes; re-measured round 4 as recall@10 0.935 <
+    # the 0.95 target). GRAM_PRECISION (module constant above) picks 3-pass
+    # HIGH: ranking-identical to 6-pass HIGHEST at 2/3 the passes.
     d2 = (
         jnp.sum(dq * dq, axis=1)[:, None]
-        - 2.0 * jnp.matmul(dq, dt_.T, precision=jax.lax.Precision.HIGHEST)
+        - 2.0 * jnp.matmul(dq, dt_.T, precision=GRAM_PRECISION)
         + jnp.sum(dt_ * dt_, axis=1)[None, :]
     )
     if approx:
