@@ -73,3 +73,99 @@ class TestVmemGate:
         # once it stops fitting it never fits again
         first_no = fits.index(False)
         assert not any(fits[first_no:])
+
+
+class TestUnderShardMap:
+    """Round-4 regression: parallel.mesh runs shard_map with check_vma=True,
+    and a pallas_call kernel jaxpr is traced OUTSIDE the manual-axes context —
+    ref-loads of sharded operands come back varying while in-kernel op results
+    are invariant, so the kernel is rejected at trace time. This broke the
+    real-TPU batched path silently (CPU tests never trace the TPU-gated
+    kernel). The fix gates the fused kernels off when operands are varying
+    (utils/vma.py is_varying); these tests pin the gate AND the underlying
+    JAX limitation, so if a JAX upgrade lifts it we notice and can re-enable
+    the kernels under shard_map."""
+
+    def _sharded_args(self, s_cap, n_dev):
+        h, g = _random_system(s_cap)
+        lam = jnp.asarray(1e-3, jnp.float32)
+        dlam = lam * jnp.clip(jnp.diag(h), 1e-6, 1e32)
+        minv = pcg_pallas.block_diag_inverse(h, dlam, s_cap)
+        return tuple(jnp.stack([x] * n_dev) for x in (h, dlam, minv, g))
+
+    def test_is_varying_detects_shard_map_operands(self):
+        from functools import partial
+
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        from wildcat_slam_tpu.utils.vma import is_varying
+
+        n_dev = min(2, jax.device_count())
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), ("w",))
+        seen = {}
+
+        @partial(jax.shard_map, mesh=mesh, in_specs=P("w"), out_specs=P("w"),
+                 check_vma=True)
+        def f(xb):
+            seen["inside"] = is_varying(xb)
+            return xb * 2.0
+
+        x = jnp.ones((n_dev, 8), jnp.float32)
+        seen["outside"] = is_varying(x)
+        jax.jit(f)(x)
+        assert seen["inside"] is True
+        assert seen["outside"] is False
+
+    def test_pallas_under_check_vma_still_unsupported(self):
+        # The reason for the gate. JAX 0.9 rejects the kernel trace with a
+        # carry/op vma mismatch (its own error suggests check_vma=False as
+        # the workaround). If this test FAILS, JAX learned to trace pallas
+        # under check_vma: delete the is_varying gates in solver.py/match.py
+        # and re-measure the batched path with the fused kernels on.
+        import pytest
+
+        from functools import partial
+
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        s_cap = 4
+        n_dev = min(2, jax.device_count())
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), ("w",))
+        hb, dlamb, minvb, gb = self._sharded_args(s_cap, n_dev)
+
+        @partial(jax.shard_map, mesh=mesh, in_specs=P("w"), out_specs=P("w"),
+                 check_vma=True)
+        def solve(hb, dlamb, minvb, gb):
+            x = pcg_pallas.pcg_solve_fused(
+                hb[0], dlamb[0], minvb[0], gb[0], iters=24, tol=1e-6,
+                interpret=True)
+            return x[None]
+
+        with pytest.raises(Exception, match="varying manual axes|check_vma"):
+            jax.jit(solve)(hb, dlamb, minvb, gb)
+
+    def test_xla_pcg_traces_under_check_vma(self):
+        # the fallback the gate selects must actually work sharded
+        from functools import partial
+
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        s_cap = 4
+        n_dev = min(2, jax.device_count())
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), ("w",))
+        hb, dlamb, minvb, gb = self._sharded_args(s_cap, n_dev)
+
+        @partial(jax.shard_map, mesh=mesh, in_specs=P("w"), out_specs=P("w"),
+                 check_vma=True)
+        def solve(hb, dlamb, minvb, gb):
+            hd = hb[0] + jnp.diag(dlamb[0])
+            return _pcg_solve(hd, gb[0], s_cap, iters=96, tol=1e-7)[None]
+
+        got = jax.jit(solve)(hb, dlamb, minvb, gb)
+        # sharded and unsharded programs fuse differently and CG amplifies
+        # the f32 noise, so assert solution QUALITY, not bitwise closeness
+        hd = np.asarray(hb[0], np.float64) + np.diag(np.asarray(dlamb[0], np.float64))
+        g = np.asarray(gb[0], np.float64)
+        for i in range(n_dev):
+            res = np.linalg.norm(hd @ np.asarray(got[i], np.float64) - g)
+            assert res <= 1e-3 * np.linalg.norm(g), f"shard {i} residual {res}"

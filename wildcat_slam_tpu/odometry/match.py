@@ -47,7 +47,7 @@ import jax
 import jax.numpy as jnp
 
 from wildcat_slam_tpu.ops.knn_pallas import knn_topk_fused
-from wildcat_slam_tpu.utils.vma import vary
+from wildcat_slam_tpu.utils.vma import is_varying as vma_is_varying, vary
 
 # MXU precision of the (Q, 6) x (6, T) distance Gram. The contraction depth is
 # 6 (padded to 128 on the MXU), so redundant lane work x pass count IS the
@@ -105,7 +105,10 @@ def knn_search(
         # widening with T). CPU tests and f64 always take the portable paths.
         fused = (dtype == jnp.float32
                  and dq.shape[0] * dt_.shape[0] >= (1 << 30)
-                 and jax.devices()[0].platform == "tpu")
+                 and jax.devices()[0].platform == "tpu"
+                 # pallas_call can't trace under shard_map check_vma
+                 # (utils/vma.py is_varying; docs/ISSUES.md)
+                 and not vma_is_varying(dq))
     if approx and fused:
         # single-kernel distance + per-bin reduction: the (Q, T) matrix never
         # touches HBM (ops/knn_pallas.py; ~98% realized recall vs the 0.95

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from wildcat_slam_tpu.odometry import factors as fmod
 from wildcat_slam_tpu.odometry.states import SampleStates
 from wildcat_slam_tpu.ops import pcg_pallas
-from wildcat_slam_tpu.utils.vma import vary
+from wildcat_slam_tpu.utils.vma import is_varying, vary
 
 
 def _shift_down(a, d):
@@ -290,12 +290,16 @@ def solve_window(
     # the fused Pallas PCG runs on real TPU backends only ("pcg_xla" forces the
     # portable lax.while_loop path; CPU tests and f64 always use it), and only
     # when the whole solve fits scoped VMEM (oversized sample capacities fall
-    # back to the HBM-streaming XLA PCG instead of failing to compile)
+    # back to the HBM-streaming XLA PCG instead of failing to compile). Under
+    # shard_map (the batched-windows path) pallas_call cannot trace with
+    # check_vma=True (utils/vma.py is_varying; docs/ISSUES.md) — the sharded
+    # program takes the XLA PCG instead.
     use_fused_pcg = (
         linear_solver == "pcg"
         and dtype == jnp.float32
         and jax.devices()[0].platform == "tpu"
         and pcg_pallas.fits_vmem(s_cap)
+        and not is_varying(sample.cor)
     )
 
     def eval_cost(cor_flat):

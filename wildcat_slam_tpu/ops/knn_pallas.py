@@ -55,6 +55,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from wildcat_slam_tpu.utils.vma import out_struct
+
 
 def _fold_chunk(s, j, base_cols, vals_ref, idx_ref):
     """Fold an (block_q, chunk_t) score tile into the persistent per-bin
@@ -133,8 +135,9 @@ def _knn_bins(dq, dtt, *, mode: str, n_dims: int, n_bins: int, block_q: int,
             pl.BlockSpec((block_q, n_bins), lambda i, j: (i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((q, n_bins), jnp.float32),
-            jax.ShapeDtypeStruct((q, n_bins), jnp.int32),
+            # out_struct: propagate shard_map varying-manual-axes (check_vma)
+            out_struct((q, n_bins), jnp.float32, dq, dtt),
+            out_struct((q, n_bins), jnp.int32, dq, dtt),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),

@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from wildcat_slam_tpu.utils.vma import out_struct
+
 
 def _pcg_kernel(iters: int, tol: float, s_cap: int, precision, h_ref, dlam_ref,
                 minv_ref, b_ref, x_ref):
@@ -115,7 +117,8 @@ def pcg_solve_fused(h, dlam, minv, b, *, iters: int, tol: float,
     kern = functools.partial(_pcg_kernel, iters, tol, s_cap, precision)
     x = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((n, 1), h.dtype),
+        # out_struct: propagate shard_map varying-manual-axes (check_vma)
+        out_shape=out_struct((n, 1), h.dtype, h, dlam, minv, b),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         # H (5.3 MB at the shipped capacity) + its in-kernel value copy push

@@ -57,3 +57,31 @@ def vary(*xs):
     if ax is not None:
         xs = tuple(_promote(x, ax) for x in xs)
     return xs if len(xs) > 1 else xs[0]
+
+
+def is_varying(x) -> bool:
+    """True when ``x`` is traced under ``shard_map`` with axes it varies over.
+
+    Used to gate the Pallas kernels off on the sharded (batched-windows) path:
+    a ``pallas_call`` kernel jaxpr is traced OUTSIDE the shard_map manual-axes
+    context, so ref-loads of sharded operands carry `{V:axis}` while every op
+    result inside the kernel is invariant — ``check_vma=True`` then rejects the
+    kernel at trace time (JAX 0.9 eval error says literally: "as a temporary
+    workaround pass check_vma=False"). Rather than give up vma checking for
+    the whole batched program, the callers fall back to the XLA paths when
+    their operands are varying (docs/ISSUES.md)."""
+    return bool(getattr(jax.typeof(x), "vma", frozenset()))
+
+
+def out_struct(shape, dtype, *operands):
+    """``jax.ShapeDtypeStruct`` for a ``pallas_call`` output, carrying the
+    union of the operands' varying-manual-axes. Under ``shard_map`` with
+    ``check_vma=True`` an out_shape without ``vma`` is rejected outright
+    (pallas_call.py: "vma ... must not be None"); outside shard_map the
+    operands' vma sets are empty and this is the plain struct."""
+    vma = frozenset()
+    for x in operands:
+        vma |= getattr(jax.typeof(x), "vma", frozenset())
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
