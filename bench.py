@@ -23,7 +23,10 @@ Accuracy is reported alongside: ATE RMSE (m, unaligned) against the exact
 synthetic ground truth. The reference publishes no numbers (BASELINE.md); its
 implied bar is 1.0x real-time (online mode exists, wildcat_slam_node.cc:69-79).
 
-Prints exactly one JSON line.
+Prints exactly one JSON line. ``--r01-regime`` reruns the round-1 bench
+configuration (32k-point capacities, 6000 points/scan, 8 s) at current HEAD —
+the cross-round continuity row MEASUREMENTS.md records once per round so the
+headline numbers stay comparable across rounds whatever the tunnel does.
 """
 
 import glob
@@ -59,8 +62,18 @@ def main():
     from wildcat_slam_tpu.io.synthetic import SyntheticSequence, ate_rmse
     from wildcat_slam_tpu.odometry.pipeline import LidarOdometry
 
-    cfg = WildcatConfig()  # shipped defaults — production shapes
-    seq = SyntheticSequence(duration=30.0, points_per_scan=12800, room_half=5.0, seed=0)
+    r01 = "--r01-regime" in sys.argv[1:]
+    if r01:  # the round-1 bench config, verbatim (git c6e32fb:bench.py)
+        cfg = WildcatConfig(
+            max_points_per_sweep=32768, max_surfels_per_sweep=1024,
+            max_surfels_sliding=4096, max_surfels_fixed=8192,
+            max_correspondences=4096, max_leaves_per_sweep=8192,
+            inner_iter_num_max=30)
+        seq = SyntheticSequence(duration=8.0, points_per_scan=6000,
+                                room_half=5.0, seed=0)
+    else:
+        cfg = WildcatConfig()  # shipped defaults — production shapes
+        seq = SyntheticSequence(duration=30.0, points_per_scan=12800, room_half=5.0, seed=0)
     lo = LidarOdometry(cfg)
 
     trace_dir = tempfile.mkdtemp(prefix="wc_bench_trace_")
@@ -68,7 +81,9 @@ def main():
     pending = next(imu_iter, None)
     t_start = t_steady = t_wall_end = None
     n_pre = n_wall = 0
-    steady_from = cfg.fixed_window_duration + cfg.sweep_duration
+    # r01 ran 8 s with no ramp gating (everything after the compile sweep
+    # counted); keep that definition for the continuity row
+    steady_from = 1.0 if r01 else cfg.fixed_window_duration + cfg.sweep_duration
     wall_sweeps = 12  # untraced steady sweeps for the wall numbers
     tracing = False
     for ts, pl in seq.scans:
@@ -131,7 +146,8 @@ def main():
         "sweeps": lo.sweep_id,
         "steady_sweeps": n_wall,
         "realtime_factor_rampup": round(cfg.sweep_duration / per_ramp, 3),
-        "points_per_sweep": 64000,
+        "points_per_sweep": 30000 if r01 else 64000,
+        "regime": "r01" if r01 else "shipped",
         "ate_rmse_m": round(ate, 5),
         "device": str(jax.devices()[0]),
     }))
