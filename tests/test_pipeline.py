@@ -96,6 +96,34 @@ class TestWindowBehavior:
         # matching against the fixed window kicked in
         assert any(int(s["n_pairs_fix"]) > 0 for s in lo.stats)
 
+    def test_fix_geo_cache_matches_recompute(self):
+        # the incrementally-maintained fixed-window derived table (WindowState.
+        # fix_geo, refreshed only for inserted rows) must equal a full
+        # pack_geo_rows recompute after many sweeps of insert/trim/rebase
+        from wildcat_slam_tpu.odometry import factors as fmod
+
+        seq = SyntheticSequence(duration=4.0, points_per_scan=1500, room_half=4.0, seed=3)
+        lo = _run(seq, _small_cfg(sliding_window_duration=2.0, max_sample_states=112,
+                                  max_imu_states=1792, inner_iter_num_max=8))
+        assert int(lo.state.fix.count) > 0
+        v = np.asarray(lo.state.fix.valid)
+        cached = np.asarray(lo.state.fix_geo)[v]
+        recomputed = np.asarray(fmod.pack_geo_rows(lo.state.fix))[v]
+        # center_world/norm_world (cols 6:12) are row-local elementwise ops:
+        # bit-exact regardless of batch shape. cov_world's 3-wide matmul may
+        # reduce in a different order at the insert-block batch size than at
+        # the full window, so cols 0:6 are equal only to f32 roundoff
+        # (observed max |diff| 4.8e-7 on cov entries ~1e-3).
+        np.testing.assert_array_equal(cached[:, 6:12], recomputed[:, 6:12])
+        np.testing.assert_allclose(cached[:, 0:6], recomputed[:, 0:6],
+                                   rtol=0, atol=2e-6)
+        # and the pack assembled from the cache matches the direct pack under
+        # the same split (cols 0:12 raw fields exact, 12:18 cached cov6)
+        pk_c = np.asarray(fmod.pack_factor_rows_from_geo(lo.state.fix, lo.state.fix_geo))[v]
+        pk_d = np.asarray(fmod.pack_factor_rows(lo.state.fix))[v]
+        np.testing.assert_array_equal(pk_c[:, 0:12], pk_d[:, 0:12])
+        np.testing.assert_allclose(pk_c[:, 12:18], pk_d[:, 12:18], rtol=0, atol=2e-6)
+
 
 class TestInputValidation:
     def test_unsorted_scan_times_rejected(self):

@@ -59,6 +59,38 @@ class TestInsertSurfels:
         np.testing.assert_allclose(np.sort(ev_t), [1, 2])
         np.testing.assert_allclose(ev_c[np.argsort(ev_t)][0], [0, 1, 2])
 
+    def test_aux_payload_follows_insert(self):
+        # derived-row caches ride the insert (the pipeline's fix_geo table):
+        # aux rows tagged 10*t must land wherever their surfel lands, and
+        # untouched slots must keep their old aux rows
+        win = _surfels(6, [1.0, 2.0, 3.0, 4.0])
+        new = _surfels(4, [5.0, 6.0, 7.0])
+        win_aux = jnp.stack([10.0 * win.t, jnp.arange(6.0)], axis=1)
+        new_aux = jnp.stack([10.0 * new.t, 100.0 + jnp.arange(4.0)], axis=1)
+        out, evicted, out_aux = win_mod.insert_surfels(win, new, win_aux=win_aux,
+                                                       new_aux=new_aux)
+        ov = np.asarray(out.valid)
+        np.testing.assert_allclose(np.asarray(out_aux)[ov, 0],
+                                   10.0 * np.asarray(out.t)[ov])
+        # slots not written this insert keep their original aux rows
+        kept_old = ov & (np.asarray(out.t) <= 4.0)
+        np.testing.assert_allclose(np.asarray(out_aux)[kept_old],
+                                   np.asarray(win_aux)[kept_old])
+
+    def test_aux_payload_on_eviction(self):
+        # a full window: the 2 oldest are evicted, their slots' aux rows are
+        # replaced by the incoming surfels' aux rows
+        win = _surfels(2, [1.0, 2.0])
+        new = _surfels(2, [3.0, 4.0])
+        win_aux = (10.0 * win.t)[:, None]
+        new_aux = (10.0 * new.t)[:, None]
+        out, evicted, out_aux = win_mod.insert_surfels(win, new, win_aux=win_aux,
+                                                       new_aux=new_aux)
+        ov = np.asarray(out.valid)
+        assert ov.all()
+        np.testing.assert_allclose(np.asarray(out_aux)[:, 0],
+                                   10.0 * np.asarray(out.t))
+
     def test_extract_moved(self):
         win = _surfels(8, [1.0, 2.0, 3.0, 4.0, 5.0])
         out, moved = win_mod.extract_moved(win, jnp.asarray(3.5), 4)

@@ -129,6 +129,35 @@ def pack_factor_rows(s: Surfels) -> jnp.ndarray:
     ], axis=1)
 
 
+def pack_geo_rows(s: Surfels) -> jnp.ndarray:
+    """(K, 12) pose-frozen derived geometry per surfel:
+    [cov_world sym6 (6), center_world (3), norm_world (3)].
+
+    Every column is a pure row-local function of (rot, pos, center, norm, cov)
+    — fields that never change after a surfel enters the FIXED window (poses
+    are only re-attached for the sliding window, corrections.py). The pipeline
+    therefore caches this table for the fixed window and refreshes only the
+    rows touched by the sweep's insert (window.insert_surfels aux payload)
+    instead of recomputing all ``max_surfels_fixed`` rows per sweep."""
+    cw = s.cov_world()
+    cw6 = jnp.stack([cw[:, 0, 0], cw[:, 1, 1], cw[:, 2, 2],
+                     cw[:, 0, 1], cw[:, 0, 2], cw[:, 1, 2]], axis=1)
+    return jnp.concatenate([cw6, s.center_world(), s.norm_world()], axis=1)
+
+
+def pack_factor_rows_from_geo(s: Surfels, geo: jnp.ndarray) -> jnp.ndarray:
+    """:func:`pack_factor_rows` assembled from a cached :func:`pack_geo_rows`
+    table — live t/valid (they change at rebase/trim) + raw pose/geometry
+    fields + the cached cov_world sym6. Matches ``pack_factor_rows`` exactly
+    on all raw-field columns; the cov6 columns agree to f32 roundoff (the
+    3-wide cov_world matmul may reduce in a different order at the cache's
+    insert-block batch size than at the full window)."""
+    return jnp.concatenate([
+        s.t[:, None], s.valid.astype(s.t.dtype)[:, None],
+        s.rot, s.center, s.pos, geo[:, 0:6],
+    ], axis=1)
+
+
 def _sym6_to_full(m6: jnp.ndarray) -> jnp.ndarray:
     xx, yy, zz, xy, xz, yz = (m6[..., i] for i in range(6))
     return jnp.stack([

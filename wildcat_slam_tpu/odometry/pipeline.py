@@ -52,6 +52,13 @@ class WindowState:
     imu: ImuStates
     sld: Surfels
     fix: Surfels
+    # cached pack_geo_rows(fix): (max_surfels_fixed, 12) [cov_world sym6,
+    # center_world, norm_world]. Fixed-window poses are frozen after insertion
+    # (only sliding-window poses are re-attached post-solve), so these derived
+    # rows change ONLY at the sweep's fixed-window insert — process_sweep
+    # refreshes just the inserted rows (insert_surfels aux payload) instead of
+    # recomputing all rows every sweep (measured 0.56 ms/sweep at 16384 rows).
+    fix_geo: jnp.ndarray
 
     @classmethod
     def empty(cls, cfg: WildcatConfig, dtype) -> "WindowState":
@@ -60,6 +67,7 @@ class WindowState:
             imu=ImuStates.empty(cfg.max_imu_states, dtype),
             sld=Surfels.empty(cfg.max_surfels_sliding, dtype),
             fix=Surfels.empty(cfg.max_surfels_fixed, dtype),
+            fix_geo=jnp.zeros((cfg.max_surfels_fixed, 12), dtype),
         )
 
 
@@ -123,13 +131,15 @@ def process_sweep(
     # written; evictions under capacity pressure migrate to the fixed window
     # at the post-solve trim (the reference's deques are unbounded)
     sld, sld_evicted = win_mod.insert_surfels(state.sld, new_surfels)
-    fix = state.fix
+    fix, fix_geo = state.fix, state.fix_geo
 
     stats = {}
     for _ in range(cfg.outer_iter_num_max):  # cc:529 (default 1)
-        # 5. correspondences (cc:530-538)
+        # 5. correspondences (cc:530-538). The fixed window's world-frame
+        # tables come from the fix_geo cache (see WindowState) — only the
+        # sliding window, whose poses moved last solve, is recomputed.
         c_sld, n_sld = sld.center_world(), sld.norm_world()
-        c_fix, n_fix = fix.center_world(), fix.norm_world()
+        c_fix, n_fix = fix_geo[:, 6:9], fix_geo[:, 9:12]
         iq_s, it_s, pv_s, drop_s = match_surfels(
             c_sld, n_sld, sld.t, sld.valid, c_sld, n_sld, sld.t, sld.valid,
             center_dist=cfg.match_center_dist, angular_dist=cfg.match_angular_dist,
@@ -148,7 +158,7 @@ def process_sweep(
         # 6. factors (cc:543-545) — one packed table per window, shared across
         # both builds (pack_factor_rows: wide gathers, cov_world computed once)
         sld_pack = fmod.pack_factor_rows(sld)
-        fix_pack = fmod.pack_factor_rows(fix)
+        fix_pack = fmod.pack_factor_rows_from_geo(fix, fix_geo)
         sfac_b = fmod.build_surfel_factors(
             sld, sld, iq_s, it_s, pv_s, sample, cfg.surfel_sigma_floor, target_optimized=True,
             sq_pack=sld_pack, st_pack=sld_pack)
@@ -227,7 +237,11 @@ def process_sweep(
     sld, moved = win_mod.extract_moved(sld, imu_front_t, cfg.max_surfels_per_sweep * 2)
     incoming = jax.tree_util.tree_map(
         lambda a, b: jnp.concatenate([a, b], 0), sld_evicted, moved)
-    fix, _ = win_mod.insert_surfels(fix, incoming)
+    # derived rows for ONLY the incoming block (3x sweep cap), scattered into
+    # the fix_geo cache alongside the surfel insert
+    inc_geo = fmod.pack_geo_rows(incoming)
+    fix, _, fix_geo = win_mod.insert_surfels(fix, incoming, win_aux=fix_geo,
+                                             new_aux=inc_geo)
     small = jnp.asarray(jnp.finfo(dtype).min, dtype)
     fix_newest = jnp.max(jnp.where(fix.valid, fix.t, small))
     fix = fix.replace(valid=fix.valid & (fix.t >= fix_newest - cfg.fixed_window_duration))
@@ -270,7 +284,8 @@ def process_sweep(
     if stats_res is not None:
         outputs["residuals"] = stats_res
         outputs["residuals_pre"] = stats_res_pre
-    return state.replace(sample=sample2, imu=imu2, sld=sld, fix=fix), outputs
+    return state.replace(sample=sample2, imu=imu2, sld=sld, fix=fix,
+                         fix_geo=fix_geo), outputs
 
 
 def _voxel_decimate_indices(xyz: np.ndarray, cap: int, size0: float) -> np.ndarray:

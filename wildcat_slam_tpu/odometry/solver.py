@@ -46,19 +46,29 @@ def _place_block_bands(bands, s_cap: int, dtype):
 
     ``bands`` maps a block-diagonal offset ``delta`` to a (S, 12, 12) array B
     with B[r] the 12x12 block at block-row r, block-col r + delta. The
-    placement is a mask-multiply — ``H4[r, i, c, j] = sum_delta B_d[r, i, j] *
-    (c == r + delta)`` — which XLA fuses into ONE output fusion writing the
-    5.3 MB H directly in its consumer layout. The previous formulation
-    (scatter-adds into a (S+2)-padded buffer, then crop) paid ~1.5 ms/sweep of
-    pad/slice/layout copies around the scatters, re-paid inside the LM loop's
-    re-linearization conditional.
+    placement is a mask-multiply — ``H[r*12+i, c*12+j] = sum_delta
+    B_d[r, i, j] * (c == r + delta)`` — which XLA fuses into ONE output fusion
+    writing the 5.3 MB H directly in its consumer layout. The previous
+    formulation (scatter-adds into a (S+2)-padded buffer, then crop) paid
+    ~1.5 ms/sweep of pad/slice/layout copies around the scatters, re-paid
+    inside the LM loop's re-linearization conditional.
+
+    Shapes are arranged so every reshape only merges ADJACENT dims — (S, 12,
+    S) -> (S*12, S) and (n, S, 12) -> (n, S*12) are layout bitcasts. The
+    earlier 4-D formulation ((S, 12, S, 12) then one final reshape) made XLA
+    reshape the cross matrix D INTO the 4-D tiled layout (minor dim 12 padded
+    to the 128 lane tile) to do the add there and reshape the sum back:
+    ~0.36 ms/sweep of pure data formatting around the adds (trace round 4,
+    reshape.60/.32/.4267 + add_add_fusion).
     """
     ar = jnp.arange(s_cap)
-    h4 = jnp.zeros((s_cap, 12, s_cap, 12), dtype)
+    n = s_cap * 12
+    h2 = jnp.zeros((n, n), dtype)
     for delta, blk in sorted(bands.items()):
-        oh = (ar[:, None] + delta == ar[None, :]).astype(dtype)   # (S, S)
-        h4 = h4 + blk[:, :, None, :] * oh[:, None, :, None]
-    return h4.reshape(s_cap * 12, s_cap * 12)
+        oh = (ar[:, None] + delta == ar[None, :]).astype(dtype)       # (S, S)
+        ohr = jnp.broadcast_to(oh[:, None, :], (s_cap, 12, s_cap)).reshape(n, s_cap)
+        h2 = h2 + (ohr[:, :, None] * blk.reshape(n, 12)[:, None, :]).reshape(n, n)
+    return h2
 
 
 def _add_band(bands, delta, blk):

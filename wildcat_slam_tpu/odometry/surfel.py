@@ -55,7 +55,8 @@ def _unpack_sym(m6: jnp.ndarray) -> jnp.ndarray:
     ], axis=-2)
 
 
-def _compact_positions(flag: jnp.ndarray, slot_id: jnp.ndarray, cap: int, fill: int):
+def _compact_positions(flag: jnp.ndarray, slot_id: jnp.ndarray, cap: int, fill: int,
+                       payload: tuple = ()):
     """(cap + 1,) start positions: out[j] = index of the flagged element with
     ``slot_id == j`` (slot ids are consecutive over flagged elements), ``fill``
     for absent slots. Slots past ``cap`` are cut (slot ``cap`` itself is kept
@@ -65,17 +66,30 @@ def _compact_positions(flag: jnp.ndarray, slot_id: jnp.ndarray, cap: int, fill: 
     ``full(cap+1, fill).at[where(flag, slot_id, cap+1)].set(arange)`` — walks
     all P index rows (~0.30 ms/call at P=64k on TPU, 6 calls/sweep); a 2-key
     bitonic sort that floats the flagged positions to the front costs ~0.1 ms
-    and XLA shares nothing between the two, so the sort wins."""
+    and XLA shares nothing between the two, so the sort wins.
+
+    ``payload``: optional per-element (P,) channels to carry through the same
+    sort — returns each evaluated at the flagged positions (garbage at absent
+    slots; callers must mask). Riding the sort replaces the width-1 random
+    gathers ``chan[positions]`` (measured 0.116 ms each at 16384 slots — TPU
+    gathers fetch whole tiled rows, so width-1 rows waste the lanes) with
+    ~linear extra bitonic-pass traffic.
+    """
     p = flag.shape[0]
     big = jnp.int32(2**31 - 1)
     key = jnp.where(flag, slot_id, big)
-    key_s, pos_s = jax.lax.sort((key, jnp.arange(p, dtype=jnp.int32)), num_keys=1)
+    outs = jax.lax.sort((key, jnp.arange(p, dtype=jnp.int32)) + tuple(payload),
+                        num_keys=1)
     if p < cap + 1:  # fewer elements than slots: missing tail = absent slots
         pad = cap + 1 - p
-        key_s = jnp.concatenate([key_s, jnp.full((pad,), big, jnp.int32)])
-        pos_s = jnp.concatenate([pos_s, jnp.zeros((pad,), jnp.int32)])
-    head_k, head_p = key_s[:cap + 1], pos_s[:cap + 1]
-    return jnp.where(head_k <= cap, head_p, jnp.int32(fill))
+        outs = (jnp.concatenate([outs[0], jnp.full((pad,), big, jnp.int32)]),
+                jnp.concatenate([outs[1], jnp.zeros((pad,), jnp.int32)])) + tuple(
+                    jnp.concatenate([o, jnp.zeros((pad,), o.dtype)]) for o in outs[2:])
+    head_k, head_p = outs[0][:cap + 1], outs[1][:cap + 1]
+    pos = jnp.where(head_k <= cap, head_p, jnp.int32(fill))
+    if not payload:
+        return pos
+    return pos, tuple(o[:cap + 1] for o in outs[2:])
 
 
 def _plane_test(vals: jnp.ndarray, thr: float, likeness_min: float, strict: bool):
@@ -240,29 +254,51 @@ def extract_surfels(
         cl_id = jnp.cumsum(new_cluster.astype(jnp.int32)) - 1
         n_cluster_dropped += jnp.maximum(0, jnp.sum(new_cluster.astype(jnp.int32)) - nc)
 
+        # Per-point channels the cluster slots will need, carried through the
+        # compaction sort instead of gathered afterwards (each width-1 gather
+        # at 16384 slots measured 0.116 ms — see _compact_positions):
+        #  - the enclosing segment's END position = the next segment start
+        #    strictly after this point (suffix-min over start positions);
+        #    identical to the old start_arr[seg_of + 1] lookup in every
+        #    consumed case, including the open-ended last segment (p_cap)
+        #  - the cell-center anchor of this point (the cluster anchor is its
+        #    first point's)
+        idx_or_end = jnp.where(lv["is_start"], arange_p, jnp.int32(p_cap))
+        nxt = jnp.concatenate([jax.lax.cummin(idx_or_end, reverse=True)[1:],
+                               jnp.full((1,), p_cap, jnp.int32)])
+        anchor_pts = (lv["cell_s"].astype(dtype) + 0.5) * lv["size"]
+
         # cluster start positions; slot nc is the next-of-last sentinel
-        cl_start = _compact_positions(new_cluster, cl_id, nc, p_cap)
+        cl_start, (seg_end_h, ax, ay, az) = _compact_positions(
+            new_cluster, cl_id, nc, p_cap,
+            payload=(nxt, anchor_pts[:, 0], anchor_pts[:, 1], anchor_pts[:, 2]))
         # A cluster never crosses its segment, and every point of a candidate
         # segment is a candidate (candidacy is per segment; padding sorts to
         # the tail), so the range [start, min(next cluster start, segment
-        # end)) contains exactly the cluster's points.
-        first = jnp.clip(cl_start[:nc], 0, p_cap - 1)
-        seg_of = lv["seg_id"][first]
-        seg_end = lv["start_arr"][jnp.clip(seg_of + 1, 0, v_cap)]
-        cl_end = jnp.maximum(jnp.minimum(cl_start[1:], seg_end), cl_start[:nc])
+        # end)) contains exactly the cluster's points. Absent slots carry
+        # garbage payload but cl_start = p_cap forces an empty range there.
+        cl_end = jnp.maximum(jnp.minimum(cl_start[1:], seg_end_h[:nc]), cl_start[:nc])
         sums = df_range_sum(lv["cumz"], cl_start[:nc], cl_end)  # (NC, 11)
         n_cl = sums[:, 0]
         s1 = sums[:, 1:4]
-        s2 = _unpack_sym(sums[:, 4:10])
         st = sums[:, 10]
 
         n_safe = jnp.maximum(n_cl, 1.0)
         mean_q = s1 / n_safe[:, None]
-        cov = s2 / n_safe[:, None, None] - mean_q[:, :, None] * mean_q[:, None, :]
+        # covariance kept in sym6 through the level merge: the (3*NC, 3, 3)
+        # full form cost a 0.15 ms/sweep layout copy at the concat (trace
+        # round 4, copy.7906); eigh3 reads scalar components so the full view
+        # built for it fuses away, and the final unpack happens after the
+        # capacity gather (cap rows, not 3*NC)
+        mq = mean_q
+        cov6 = sums[:, 4:10] / n_safe[:, None] - jnp.stack(
+            [mq[:, 0] * mq[:, 0], mq[:, 1] * mq[:, 1], mq[:, 2] * mq[:, 2],
+             mq[:, 0] * mq[:, 1], mq[:, 0] * mq[:, 2], mq[:, 1] * mq[:, 2]], axis=1)
+        cov = _unpack_sym(cov6)
         tmean = st / n_safe
         # a cluster subdivides one cell in time: anchor = its first point's
         # cell center
-        anchor = (lv["cell_s"][first].astype(dtype) + 0.5) * lv["size"]
+        anchor = jnp.stack([ax[:nc], ay[:nc], az[:nc]], axis=1)
         center = anchor + mean_q
 
         vals, vecs = eigh3(cov)
@@ -277,7 +313,7 @@ def extract_surfels(
         norm = jnp.where(flip[:, None], -norm, norm)
 
         out_chunks.append(dict(
-            t=tmean, center=center, cov=cov, norm=norm,
+            t=tmean, center=center, cov=cov6, norm=norm,
             resolution=jnp.full((nc,), lv["size"], dtype),
             std=jnp.sqrt(jnp.maximum(vals[:, 0], 0.0)),
             valid=keep,
@@ -295,5 +331,6 @@ def extract_surfels(
     order = jnp.argsort(jnp.where(merged["valid"], merged["t"], bigt), stable=True)[:cap]
     n_valid = jnp.sum(merged["valid"].astype(jnp.int32))
     out = {k: v[order] for k, v in merged.items()}
+    out["cov"] = _unpack_sym(out["cov"])  # sym6 -> (cap, 3, 3), post-gather
     out["n_dropped"] = n_cluster_dropped + jnp.maximum(0, n_valid - cap)
     return out

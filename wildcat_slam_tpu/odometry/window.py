@@ -64,16 +64,8 @@ def add_sample_states(
     )
 
 
-def _compact(s: Surfels, capacity: int, key: jnp.ndarray) -> Surfels:
-    """Gather the entries with the smallest keys (invalid entries must carry
-    +inf keys) into a fresh buffer of ``capacity`` rows, preserving key order."""
-    order = jnp.argsort(key)[:capacity]
-    out = jax.tree_util.tree_map(lambda x: x[order], s)
-    big = jnp.asarray(jnp.finfo(key.dtype).max, key.dtype)
-    return out.replace(valid=out.valid & (key[order] < big))
-
-
-def insert_surfels(win: Surfels, new: Surfels):
+def insert_surfels(win: Surfels, new: Surfels, win_aux: jnp.ndarray | None = None,
+                   new_aux: jnp.ndarray | None = None):
     """Insert ``new``'s valid entries into a window's free (invalid) slots.
 
     The bounded-capacity analog of the reference's unbounded deque insert
@@ -87,7 +79,13 @@ def insert_surfels(win: Surfels, new: Surfels):
     re-gathering the whole window. Costs one key sort of the window plus one of
     ``new``.
 
-    Returns (window, evicted) with ``evicted`` of ``new.capacity`` rows.
+    ``win_aux``/``new_aux``: optional per-row payload tables ((N, D) and
+    (new.capacity, D)) carried through the same compaction/scatter, so callers
+    can maintain derived-row caches (the pipeline's fixed-window
+    ``pack_geo_rows`` table) incrementally.
+
+    Returns (window, evicted), plus the updated aux table when one was given;
+    ``evicted`` has ``new.capacity`` rows.
     """
     m = new.capacity
     dtype = win.t.dtype
@@ -98,7 +96,10 @@ def insert_surfels(win: Surfels, new: Surfels):
     slots = jnp.argsort(slot_key)[:m].astype(jnp.int32)
 
     # compact the new entries (valid first, time order preserved)
-    newc = _compact(new, m, jnp.where(new.valid, new.t, big))
+    ckey = jnp.where(new.valid, new.t, big)
+    order = jnp.argsort(ckey)[:m]
+    newc = jax.tree_util.tree_map(lambda x: x[order], new)
+    newc = newc.replace(valid=newc.valid & (ckey[order] < big))
     n_new = jnp.sum(newc.valid.astype(jnp.int32))
     write = jnp.arange(m) < n_new
 
@@ -130,7 +131,13 @@ def insert_surfels(win: Surfels, new: Surfels):
             jnp.where(write_s, newc.valid, win.valid[slots_s]),
             unique_indices=True, indices_are_sorted=True),
     )
-    return out, evicted
+    if new_aux is None:
+        return out, evicted
+    auxc = new_aux[order][slot_order]
+    out_aux = win_aux.at[slots_s].set(
+        jnp.where(write_s[:, None], auxc.astype(win_aux.dtype), win_aux[slots_s]),
+        unique_indices=True, indices_are_sorted=True)
+    return out, evicted, out_aux
 
 
 def extract_moved(sld: Surfels, t_cut: jnp.ndarray, capacity: int):
