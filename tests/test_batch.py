@@ -102,6 +102,40 @@ def test_cli_batch_end_to_end(tmp_path):
         assert sum(1 for _ in open(p)) >= 2
 
 
+@pytest.mark.full
+def test_cli_batch_dataset_dir_sources(tmp_path):
+    # directory sources are iterABLES whose __iter__ restarts from scan 0;
+    # the batch driver must hold a persistent iterator per source or the
+    # second feed round re-feeds scan 0 and trips the time-order contract
+    # (round-4 advisor finding)
+    from wildcat_slam_tpu.io.dataset import from_synthetic
+
+    dirs = []
+    for seed in (0, 1):
+        seq = SyntheticSequence(duration=2.2, points_per_scan=1500,
+                                room_half=5.0, seed=seed)
+        d = str(tmp_path / f"seq{seed}")
+        from_synthetic(seq, d)
+        dirs.append(d)
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8").strip()
+    traj = str(tmp_path / "d.tum")
+    r = subprocess.run(
+        [sys.executable, "-m", "wildcat_slam_tpu.cli",
+         "--batch", ",".join(dirs),
+         "--device", "cpu", "--traj-out", traj, "--max-sweeps", "2"],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    for i in range(2):
+        p = str(tmp_path / f"d_w{i}.tum")
+        assert os.path.exists(p), r.stderr[-1000:]
+        assert sum(1 for _ in open(p)) >= 2
+
+
 def test_batch_size_must_divide_mesh():
     from wildcat_slam_tpu.parallel.batch import BatchedOdometry
 

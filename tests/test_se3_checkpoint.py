@@ -1,6 +1,7 @@
 """Rigid3 SE(3) type, checkpoint/resume, and batched-mesh parallel tests."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from scipy.spatial.transform import Rotation as R
@@ -95,6 +96,62 @@ class TestCheckpoint:
         for (t1, p1, _), (t2, p2, _) in zip(lo_full.trajectory, lo2.trajectory):
             assert abs(t1 - t2) < 1e-9
             np.testing.assert_allclose(p1, p2, atol=1e-4)
+
+    def test_load_migrates_pre_fix_geo_checkpoint(self, tmp_path):
+        # checkpoints written before WindowState gained the fix_geo cache leaf
+        # have one fewer state leaf; load() must migrate (recompute the derived
+        # cache) instead of dying in tree_unflatten with a leaf-count error
+        import json
+
+        from wildcat_slam_tpu.config import WildcatConfig
+        from wildcat_slam_tpu.io.synthetic import SyntheticSequence
+        from wildcat_slam_tpu.odometry import checkpoint
+        from wildcat_slam_tpu.odometry import factors as fmod
+        from wildcat_slam_tpu.odometry.pipeline import LidarOdometry
+
+        cfg = WildcatConfig(
+            max_points_per_sweep=16384, max_surfels_per_sweep=512,
+            max_surfels_sliding=2048, max_surfels_fixed=2048,
+            max_correspondences=2048, max_leaves_per_sweep=4096,
+            max_imu_states=640, max_sample_states=48, inner_iter_num_max=10,
+        )
+        seq = SyntheticSequence(duration=1.5, points_per_scan=2000, room_half=4.0)
+        lo = LidarOdometry(cfg)
+        i_imu = 0
+        for ts, pl in seq.scans:
+            while i_imu < len(seq.imu) and seq.imu[i_imu][0] <= ts[-1] + 0.01:
+                lo.add_imu(*seq.imu[i_imu])
+                i_imu += 1
+            lo.add_scan(ts, pl)
+        assert lo.sweep_id >= 1
+        path = str(tmp_path / "new.npz")
+        checkpoint.save(path, lo)
+
+        # rewrite as the old format: drop the trailing fix_geo leaf
+        d = dict(np.load(path, allow_pickle=False))
+        meta = json.loads(str(d["__meta__"]))
+        old_n = meta["n_leaves"] - 1
+        del d[f"leaf_{old_n}"]
+        meta["n_leaves"] = old_n
+        d["__meta__"] = json.dumps(meta)
+        old_path = str(tmp_path / "old.npz")
+        np.savez_compressed(old_path, **d)
+
+        lo2 = checkpoint.load(old_path)
+        assert lo2.sweep_id == lo.sweep_id
+        # the derived cache must be recomputed from the restored fixed window
+        expect = fmod.pack_geo_rows(lo2.state.fix)
+        np.testing.assert_allclose(np.asarray(lo2.state.fix_geo),
+                                   np.asarray(expect), atol=0)
+
+        # a genuinely wrong leaf count still fails loudly
+        meta["n_leaves"] = old_n - 1
+        del d[f"leaf_{old_n - 1}"]
+        d["__meta__"] = json.dumps(meta)
+        bad_path = str(tmp_path / "bad.npz")
+        np.savez_compressed(bad_path, **d)
+        with pytest.raises(ValueError, match="checkpoint format mismatch"):
+            checkpoint.load(bad_path)
 
     def test_load_restores_feeder_kind(self, tmp_path):
         # a checkpoint written by a --native run must restore the native feeder

@@ -117,6 +117,17 @@ class TestBoundedQueueReader:
         times = [e[1] if e[0] == "imu" else e[1][0] for e in got]
         assert times == sorted(times)
 
+    def test_zero_bound_is_unbounded_for_that_type(self):
+        # a 0 bound disables the drop check for that queue only: with a tiny
+        # IMU bound and scan_queue=0 every scan must survive any backlog while
+        # IMU still drops oldest (the CLI passes the 0 through unchanged)
+        r = ws.BoundedQueueReader(self._make_stream(n_imu=10, n_scan=4),
+                                  imu_queue=4, scan_queue=0)
+        r.join(30)
+        got = list(r)
+        assert r.dropped == {"imu": 6, "scan": 0}
+        assert sum(1 for e in got if e[0] == "scan") == 4
+
     def test_truncated_source_error_surfaces_on_consumer(self):
         buf = io.BytesIO()
         ws.write_imu(buf, 1.0, [0, 0, 9.8], [0, 0, 0])

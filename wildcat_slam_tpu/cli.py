@@ -71,7 +71,11 @@ def _run_batch(args, cfg) -> int:
     print(f"batch: {len(specs)} windows over a {bo.mesh.devices.size}-device "
           f"mesh ({jax.devices()[0].platform})", file=sys.stderr)
 
-    its = [_batch_events(s, args.imu_topic, args.lidar_topic) for s in specs]
+    # iter() is load-bearing: Dataset (directory sources) is an iterABLE whose
+    # __iter__ restarts from the first scan — re-entering `for ev in it` each
+    # feed round would re-feed scan 0 forever and trip the add_scan time-order
+    # contract. A persistent iterator keeps per-source position across rounds.
+    its = [iter(_batch_events(s, args.imu_topic, args.lidar_topic)) for s in specs]
     live = [True] * len(its)
     t0 = time.perf_counter()
     while any(live):
@@ -152,10 +156,14 @@ def main(argv=None) -> int:
     ap.add_argument("--stream-imu-queue", type=int, default=100000, metavar="N",
                     help="bounded IMU queue for --stream (drop-oldest when the "
                          "consumer lags, mirroring the reference's ROS bound; "
-                         "0 = unbounded, producer backpressure instead)")
+                         "0 = unbounded IMU queue — memory grows with backlog. "
+                         "Producer backpressure applies only when BOTH queue "
+                         "bounds are 0)")
     ap.add_argument("--stream-scan-queue", type=int, default=512, metavar="N",
                     help="bounded scan queue for --stream (drop-oldest; "
-                         "0 = unbounded, producer backpressure instead)")
+                         "0 = unbounded scan queue — memory grows with backlog. "
+                         "Producer backpressure applies only when BOTH queue "
+                         "bounds are 0)")
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip the pre-stream jit warmup (stream mode compiles "
                          "on the first live sweep instead)")
@@ -241,10 +249,12 @@ def main(argv=None) -> int:
 
             src = open_source(args.stream)
             if args.stream_imu_queue > 0 or args.stream_scan_queue > 0:
+                # a 0 bound for ONE type means that queue is truly unbounded
+                # (no drop check, io/stream.py); backpressure only if both 0
                 stream_reader = BoundedQueueReader(
                     src,
-                    imu_queue=args.stream_imu_queue or 10**9,
-                    scan_queue=args.stream_scan_queue or 10**9)
+                    imu_queue=args.stream_imu_queue,
+                    scan_queue=args.stream_scan_queue)
                 yield from stream_reader
             else:  # both 0: plain blocking reads, producer backpressure
                 yield from read_stream(src)

@@ -129,6 +129,10 @@ class BoundedQueueReader:
     """
 
     def __init__(self, f: BinaryIO, imu_queue: int = 100000, scan_queue: int = 512):
+        """A bound of 0 means a truly unbounded queue for that type (no
+        drop-oldest eviction — memory grows with backlog). Producer
+        backpressure exists only when the caller bypasses this wrapper
+        entirely (cli.py takes plain ``read_stream`` when BOTH bounds are 0)."""
         import collections
         import threading
 
@@ -149,7 +153,7 @@ class BoundedQueueReader:
                 kind = ev[0]
                 with self._lock:
                     q = self._queues[kind]
-                    if len(q) >= self._bounds[kind]:
+                    if 0 < self._bounds[kind] <= len(q):
                         q.popleft()
                         self.dropped[kind] += 1
                     q.append((seq, ev))

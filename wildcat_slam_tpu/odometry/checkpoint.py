@@ -61,8 +61,27 @@ def load(path: str, use_native: bool = None) -> LidarOdometry:
     lo = LidarOdometry(cfg, use_native=use_native)
 
     template = jax.tree_util.tree_structure(lo.state)
+    n_expected = template.num_leaves
     leaves = [jnp.asarray(d[f"leaf_{i}"]) for i in range(meta["n_leaves"])]
+    recompute_fix_geo = False
+    if meta["n_leaves"] == n_expected - 1:
+        # pre-round-4 checkpoint: WindowState gained the trailing fix_geo
+        # cache leaf (pipeline.WindowState). Insert a placeholder of the
+        # current shape and recompute the cache from the restored fixed
+        # window below — the cache is derived state, nothing is lost.
+        placeholder = jax.tree_util.tree_leaves(lo.state)[-1]
+        leaves.append(jnp.zeros_like(placeholder))
+        recompute_fix_geo = True
+    elif meta["n_leaves"] != n_expected:
+        raise ValueError(
+            f"checkpoint format mismatch: {path} holds {meta['n_leaves']} state "
+            f"leaves but the current WindowState has {n_expected}; the file was "
+            "written by an incompatible version")
     lo.state = jax.tree_util.tree_unflatten(template, leaves)
+    if recompute_fix_geo:
+        from wildcat_slam_tpu.odometry import factors as fmod
+
+        lo.state = lo.state.replace(fix_geo=fmod.pack_geo_rows(lo.state.fix))
 
     for f in _HOST_FIELDS:
         setattr(lo, f, meta["host"].get(f, getattr(lo, f)))
