@@ -52,6 +52,43 @@ class TestEndToEnd:
         assert all(np.isfinite(float(s["final_cost"])) for s in lo.stats)
         assert all(int(s["n_new_surfels"]) > 50 for s in lo.stats)
 
+    def test_chunked_dispatch_matches_per_sweep(self):
+        """chunk_sweeps=k (process_sweeps_chained: lax.scan over the sweep
+        body, ONE dispatch + ONE fetch per k sweeps — the offline-replay
+        wall-clock attack, VERDICT r4 item 2) must reproduce the per-sweep
+        path: same sweep boundaries, same per-sweep stats, same trajectory to
+        float noise. 4 sweeps at chunk=3 also exercises the noop-padded
+        partial tail chunk."""
+        seq = SyntheticSequence(duration=2.5, points_per_scan=3000, room_half=5.0, seed=0)
+        cfg = _small_cfg()
+        lo1 = _run(seq, cfg)
+        tr1, st1 = lo1.trajectory, lo1.stats
+
+        lo3 = LidarOdometry(cfg, chunk_sweeps=3)
+        imu_iter = iter(seq.imu)
+        pending = next(imu_iter, None)
+        for ts, pl in seq.scans:
+            while pending is not None and pending[0] <= ts[-1] + 0.01:
+                lo3.add_imu(*pending)
+                pending = next(imu_iter, None)
+            lo3.add_scan(ts, pl)
+        tr3, st3 = lo3.trajectory, lo3.stats  # flushes the partial tail
+
+        assert len(tr3) == len(tr1) >= 4
+        for (t1, p1, q1), (t3, p3, q3) in zip(tr1, tr3):
+            assert abs(t1 - t3) < 1e-9
+            np.testing.assert_allclose(np.asarray(p3), np.asarray(p1), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(q3), np.asarray(q1), atol=1e-5)
+        for a, b in zip(st1, st3):
+            assert int(a["n_new_surfels"]) == int(b["n_new_surfels"])
+            assert int(a["n_pairs_sld"]) == int(b["n_pairs_sld"])
+
+    def test_chunked_rejects_per_sweep_outputs(self):
+        with pytest.raises(ValueError, match="chunk_sweeps"):
+            LidarOdometry(_small_cfg(), collect_clouds=True, chunk_sweeps=2)
+        with pytest.raises(ValueError, match="chunk_sweeps"):
+            LidarOdometry(_small_cfg(debug_residuals=True), chunk_sweeps=2)
+
     def test_trajectory_export_roundtrip(self, tmp_path):
         seq = SyntheticSequence(duration=1.6, points_per_scan=4000, room_half=4.0, seed=1)
         lo = _run(seq, _small_cfg())

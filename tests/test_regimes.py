@@ -170,6 +170,61 @@ class TestGeometryRegimes:
         assert min(ratios_r) < warn, ratios_r
         assert any(s["degenerate"] for s in lo.stats)
 
+    def test_degeneracy_remap_acts_on_weak_geometry(self):
+        """Round-5: ACT on the health signal (factors.degeneracy_projectors +
+        solver remap_step), not just report it. A/B contract (VERDICT r4
+        item 1):
+
+        - nominal room: remap on == remap off BIT-FOR-BIT (the projectors are
+          exact zeros when no direction is weak);
+        - cylinder seed 2 (the ~100 mm observability-floor scene): suppressing
+          the common-mode yaw random-walk about the symmetry axis must cut the
+          unaligned ATE well below the floor (measured 39.3 -> 3.8 mm on CPU
+          x64; asserted at 3x margin);
+        - bare ramp: perpendicular error unchanged, along-axis drift no worse
+          (the along-axis estimate dead-reckons on IMU either way; measured
+          104.13 vs 104.14 mm)."""
+        cfg_off = _small_cfg()
+        cfg_on = _small_cfg(degeneracy_remap=True)
+
+        # nominal room: bit-for-bit inert
+        seq = SyntheticSequence(duration=2.5, points_per_scan=3000, room_half=5.0, seed=0)
+        tr_off = _run(seq, cfg_off).trajectory
+        tr_on = _run(seq, cfg_on).trajectory
+        assert len(tr_on) == len(tr_off) >= 4
+        for (t1, p1, q1), (t2, p2, q2) in zip(tr_off, tr_on):
+            np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+            np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
+
+        # cylinder seed 2: the remap must beat the observability floor
+        seq = SyntheticSequence(duration=2.5, points_per_scan=3000, room_half=5.0,
+                                seed=2, geometry="cylinder")
+        ate_off = ate_rmse(_run(seq, cfg_off).trajectory,
+                           lambda t: seq.gt_pose(t)[0], align=False)
+        ate_on = ate_rmse(_run(seq, cfg_on).trajectory,
+                          lambda t: seq.gt_pose(t)[0], align=False)
+        assert ate_on < 0.012, f"cylinder remap ATE {ate_on} (off: {ate_off})"
+        assert ate_on < 0.5 * ate_off, f"remap did not help: {ate_on} vs {ate_off}"
+
+        # bare ramp: perpendicular unchanged, along-axis no worse
+        seq = SyntheticSequence(duration=2.5, points_per_scan=3000, room_half=8.0,
+                                seed=0, geometry="ramp")
+        lo_off, lo_on = _run(seq, cfg_off), _run(seq, cfg_on)
+        d = np.array([1.0, 0.0, 0.15])
+        d /= np.linalg.norm(d)
+
+        def split_err(lo):
+            errs = [np.asarray(p) - seq.gt_pose(t)[0] for t, p, _ in lo.trajectory]
+            perp = max(np.linalg.norm(e - (e @ d) * d) for e in errs)
+            along = max(abs(e @ d) for e in errs)
+            return perp, along
+
+        perp_off, along_off = split_err(lo_off)
+        perp_on, along_on = split_err(lo_on)
+        assert perp_on < 0.03, f"remap broke perpendicular tracking: {perp_on}"
+        assert perp_on < perp_off + 0.003
+        assert along_on < along_off * 1.1 + 0.003, (along_on, along_off)
+
     def test_fast_rotation(self):
         # rot_scale=3: peak body rate ~110 deg/s — undistortion + the 12.5 Hz
         # sample spline must keep up (measured ~10 mm)

@@ -188,11 +188,27 @@ def main(argv=None) -> int:
     ap.add_argument("--device", choices=["default", "cpu"], default="default")
     ap.add_argument("--native", action="store_true",
                     help="use the C++ host feeder (native/feeder.cc)")
+    ap.add_argument("--chunk-sweeps", type=int, default=1, metavar="K",
+                    help="offline replay: run K sweeps per device dispatch "
+                         "(lax.scan chain), amortizing the host<->device "
+                         "round-trip K-fold — through the TPU tunnel that "
+                         "round-trip is ~2/3 of per-sweep wall time. "
+                         "Incompatible with --stream (adds K sweeps of "
+                         "latency) and per-sweep readers (--cloud-out, "
+                         "--residual-hist, --viewer-port, --snapshot-every, "
+                         "--verbose)")
     ap.add_argument("--max-sweeps", type=int, default=None)
     ap.add_argument("--residual-hist", action="store_true",
                     help="print pre/post-solve residual histograms per sweep")
     ap.add_argument("--exact-knn", action="store_true",
                     help="exact top-k correspondence search instead of approx_max_k")
+    ap.add_argument("--degeneracy-remap", action="store_true",
+                    help="ACT on the degeneracy health signal: project each "
+                         "solver step's common-mode component off the "
+                         "unobserved directions (Zhang & Singh ICRA'16 "
+                         "solution remapping) so the pose dead-reckons on IMU "
+                         "there instead of random-walking on lidar noise. "
+                         "Exact no-op on healthy scenes")
     ap.add_argument("--checkpoint-out", default=None, metavar="NPZ",
                     help="save full odometry state at exit (resume with --resume)")
     ap.add_argument("--resume", default=None, metavar="NPZ",
@@ -218,7 +234,8 @@ def main(argv=None) -> int:
             ap.error("--batch is incompatible with --resume/--stream/"
                      "--cloud-out/--checkpoint-out")
         cfg = WildcatConfig(imu_rate=args.imu_rate,
-                            match_knn_approx=not args.exact_knn)
+                            match_knn_approx=not args.exact_knn,
+                            degeneracy_remap=args.degeneracy_remap)
         return _run_batch(args, cfg)
 
     if args.resume:
@@ -234,9 +251,21 @@ def main(argv=None) -> int:
         cfg = lo.cfg
     else:
         cfg = WildcatConfig(imu_rate=args.imu_rate, debug_residuals=args.residual_hist,
-                            match_knn_approx=not args.exact_knn)
+                            match_knn_approx=not args.exact_knn,
+                            degeneracy_remap=args.degeneracy_remap)
+        if args.chunk_sweeps > 1:
+            bad = [f for f, on in (("--stream", args.stream is not None),
+                                   ("--cloud-out", bool(args.cloud_out)),
+                                   ("--residual-hist", args.residual_hist),
+                                   ("--viewer-port", args.viewer_port is not None),
+                                   ("--snapshot-every", bool(args.snapshot_every)),
+                                   ("--verbose", args.verbose)) if on]
+            if bad:
+                ap.error(f"--chunk-sweeps > 1 is incompatible with "
+                         f"{', '.join(bad)} (per-sweep outputs/latency)")
         lo = LidarOdometry(cfg, collect_clouds=args.cloud_out is not None,
-                           use_native=args.native)
+                           use_native=args.native,
+                           chunk_sweeps=max(args.chunk_sweeps, 1))
     timer = StageTimer()
 
     stream_reader = None  # BoundedQueueReader when --stream runs bounded
@@ -400,6 +429,8 @@ def main(argv=None) -> int:
                     )
             if args.max_sweeps and lo.sweep_id - sweeps0 >= args.max_sweeps:
                 break
+        lo.flush_chunks()  # chunked mode: dispatch the partial tail chunk
+        lo.trajectory      # materialize deferred fetches inside the timed run
         return time.perf_counter() - t0
 
     if args.profile:

@@ -127,6 +127,18 @@ class WildcatConfig:
     # rooms sit at >= 0.15 on both ratios; the known-weak scenes (sparse-door
     # corridor, cylinder) fall one-plus orders of magnitude below it.
     degeneracy_warn_ratio: float = 0.02
+    # Degeneracy solution remapping (Zhang & Singh ICRA'16 §V adapted to the
+    # joint lidar+IMU solve; factors.degeneracy_projectors +
+    # solver.solve_window remap_step): when a direction-coverage eigenvalue
+    # falls below degeneracy_remap_ratio * lambda_max, every LM step's
+    # common-mode translation/rotation component along that axis is removed —
+    # the pose dead-reckons on IMU there instead of random-walking on lidar
+    # noise. Exact no-op on healthy scenes (the projectors are exact zeros
+    # when no direction is weak). A/B validation on the weak regimes:
+    # MEASUREMENTS.md round 5. The reference solves blind in degenerate
+    # geometry (lidar_odometry.cc:540-562 — no analog).
+    degeneracy_remap: bool = False
+    degeneracy_remap_ratio: float = 0.02
     dtype: str = "float32"
 
     def __post_init__(self):
@@ -163,6 +175,12 @@ class WildcatConfig:
                 f"degeneracy_warn_ratio must be in [0, 1), got "
                 f"{self.degeneracy_warn_ratio!r} (the ratios it thresholds are "
                 "lambda_min/lambda_max values in [0, 1]; 0 disables the flag)")
+        if not 0.0 < self.degeneracy_remap_ratio < 1.0:
+            raise ValueError(
+                f"degeneracy_remap_ratio must be in (0, 1), got "
+                f"{self.degeneracy_remap_ratio!r} (eigenvalues below "
+                "remap_ratio * lambda_max count as unobserved directions; "
+                "disable remapping with degeneracy_remap=False, not ratio 0)")
         if self.dtype not in ("float32", "float64"):
             raise ValueError(f"dtype must be 'float32' or 'float64', got {self.dtype!r}")
 

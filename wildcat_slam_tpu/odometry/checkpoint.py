@@ -22,6 +22,7 @@ _HOST_FIELDS = ("synced", "initialized", "epoch", "sample_times", "imu_front_tim
 
 
 def save(path: str, lo: LidarOdometry) -> None:
+    lo.flush_chunks()  # chunked mode: device state must catch up to the host
     _pts = lo.points.dump()
     flat, treedef = jax.tree_util.tree_flatten(jax.device_get(lo.state))
     host = {f: getattr(lo, f) for f in _HOST_FIELDS}

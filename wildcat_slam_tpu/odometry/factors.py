@@ -261,12 +261,8 @@ def direction_coverage(fac: SurfelFactors, ref_pos: jnp.ndarray):
     ``(trans_ratio, rot_ratio)`` as scalars; 0 when no factors are active
     (no lidar constraint at all — maximally degenerate).
     """
+    dt_mat, dr_mat = _coverage_mats(fac, ref_pos)
     dtype = fac.n.dtype
-    w2 = jnp.where(fac.valid, fac.w * fac.w, 0.0).astype(dtype)
-    dt_mat = jnp.einsum("m,mi,mj->ij", w2, fac.n, fac.n)
-    lever = (fac.v2 + fac.p2) - ref_pos[None, :].astype(dtype)
-    c = jnp.cross(lever, fac.n)
-    dr_mat = jnp.einsum("m,mi,mj->ij", w2, c, c)
 
     def ratio(d):
         vals, _ = eigh3(d)
@@ -274,6 +270,60 @@ def direction_coverage(fac: SurfelFactors, ref_pos: jnp.ndarray):
         return lo / jnp.maximum(vals[2], jnp.finfo(dtype).tiny)
 
     return ratio(dt_mat), ratio(dr_mat)
+
+
+def _coverage_mats(fac: SurfelFactors, ref_pos: jnp.ndarray):
+    """The weighted second-moment matrices (D_t, D_r) of
+    :func:`direction_coverage` — shared with :func:`degeneracy_projectors`."""
+    dtype = fac.n.dtype
+    w2 = jnp.where(fac.valid, fac.w * fac.w, 0.0).astype(dtype)
+    dt_mat = jnp.einsum("m,mi,mj->ij", w2, fac.n, fac.n)
+    lever = (fac.v2 + fac.p2) - ref_pos[None, :].astype(dtype)
+    c = jnp.cross(lever, fac.n)
+    dr_mat = jnp.einsum("m,mi,mj->ij", w2, c, c)
+    return dt_mat, dr_mat
+
+
+def degeneracy_projectors(fac: SurfelFactors, ref_pos: jnp.ndarray,
+                          remap_ratio: float):
+    """Weak-subspace projectors for degeneracy solution remapping.
+
+    Acting on the round-4 health signal instead of only reporting it: when a
+    direction-coverage eigenvalue collapses, the joint problem still has a
+    near-null mode — the COMMON-MODE (all-states-together) translation or
+    rotation update along the collapsed axis, which neither the surfel factors
+    (no constraint there) nor the IMU factors (relative-only) observe. The LM
+    damping regularizes the singularity numerically, so the solver happily
+    steps into that subspace driven by residual noise; the steps accumulate as
+    random-walk drift. The standard remedy is Zhang & Singh ICRA'16 §V
+    solution remapping — zero the update along unobserved directions and keep
+    the prediction (here: IMU dead reckoning) there instead. The joint-solve
+    adaptation (solver.lm_step): project only the common-mode MEAN of the
+    per-state updates off the weak axes, preserving the differential
+    components the IMU does observe.
+
+    Returns ``(W_t, W_r, trans_ratio, rot_ratio)``: 3x3 weak-subspace
+    projectors ``W = sum_{k weak} v_k v_k^T`` (world frame; weak = eigenvalue
+    < remap_ratio * lambda_max) plus the same scale-free ratios
+    :func:`direction_coverage` reports. On a healthy scene both W are EXACT
+    zeros (the mask sums no terms), so the solver's remapped step equals the
+    unremapped one bit-for-bit — the remap is inert unless the signal fires.
+    (No reference analog: lidar_odometry.cc:540-562 solves blind.)
+    """
+    dt_mat, dr_mat = _coverage_mats(fac, ref_pos)
+    dtype = fac.n.dtype
+
+    def proj(d):
+        vals, vecs = eigh3(d)
+        lam_max = jnp.maximum(vals[2], jnp.finfo(dtype).tiny)
+        ratio = jnp.maximum(vals[0], 0.0) / lam_max
+        weak = (vals < remap_ratio * vals[2]).astype(dtype)        # (3,)
+        w = jnp.einsum("k,ik,jk->ij", weak, vecs, vecs)
+        return w, ratio
+
+    w_t, r_t = proj(dt_mat)
+    w_r, r_r = proj(dr_mat)
+    return w_t, w_r, r_t, r_r
 
 
 def interp_weights(fac: SurfelFactors, s_cap: int, dtype):

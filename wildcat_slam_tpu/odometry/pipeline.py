@@ -89,8 +89,7 @@ def init_window(state: WindowState, imu_t, imu_acc, imu_gyr, cfg: WildcatConfig)
     return state.replace(sample=sample, imu=imu)
 
 
-@partial(jax.jit, static_argnames=("cfg", "emit_cloud"), donate_argnames=("state",))
-def process_sweep(
+def _process_sweep_impl(
     state: WindowState,
     # IMU feed: padded (K,) arrays of resampled samples, n valid
     imu_t, imu_acc, imu_gyr, imu_n,
@@ -103,7 +102,12 @@ def process_sweep(
     cfg: WildcatConfig,
     emit_cloud: bool = False,
 ):
-    """One full sweep step on device. Returns (state, outputs dict)."""
+    """One full sweep step on device. Returns (state, outputs dict).
+
+    Unjitted body — traced by :func:`process_sweep` (one sweep per dispatch)
+    and, as a ``lax.scan`` body, by :func:`process_sweeps_chained` (k sweeps
+    per dispatch for offline replay, amortizing the host<->device round-trip).
+    """
     sample, imu = state.sample, state.imu
     dtype = sample.pos.dtype
 
@@ -170,8 +174,16 @@ def process_sweep(
 
         # degeneracy health signal (no reference analog — see
         # factors.direction_coverage): direction coverage of the match set
-        # around the predicted back pose, computed once per outer iteration
-        deg_t, deg_r = fmod.direction_coverage(sfac, pred_pos)
+        # around the predicted back pose, computed once per outer iteration.
+        # With remapping on, the same eigendecomposition also yields the
+        # weak-subspace projectors the solver uses to act on the signal.
+        if cfg.degeneracy_remap:
+            w_t, w_r, deg_t, deg_r = fmod.degeneracy_projectors(
+                sfac, pred_pos, cfg.degeneracy_remap_ratio)
+            remap_proj = (w_t, w_r)
+        else:
+            deg_t, deg_r = fmod.direction_coverage(sfac, pred_pos)
+            remap_proj = None
 
         # 7. solve (cc:540-562)
         weights = (cfg.weight_gyr, cfg.weight_acc, cfg.weight_bg, cfg.weight_ba)
@@ -188,7 +200,7 @@ def process_sweep(
             cauchy_scale=cfg.cauchy_loss_scale, max_iterations=cfg.inner_iter_num_max,
             init_lambda=cfg.gn_initial_lambda, function_tolerance=cfg.gn_function_tolerance,
             linear_solver=cfg.linear_solver, pcg_iters=cfg.pcg_iters, pcg_tol=cfg.pcg_tol,
-            n_binary=cfg.max_correspondences,
+            n_binary=cfg.max_correspondences, remap_proj=remap_proj,
         )
         if cfg.debug_residuals:
             from wildcat_slam_tpu.odometry.solver import residual_snapshot
@@ -288,6 +300,58 @@ def process_sweep(
                          fix_geo=fix_geo), outputs
 
 
+@partial(jax.jit, static_argnames=("cfg", "emit_cloud"), donate_argnames=("state",))
+def process_sweep(
+    state: WindowState,
+    imu_t, imu_acc, imu_gyr, imu_n,
+    sample_t, sample_n,
+    pts, pts_t, pts_n,
+    n_sample_drop, n_imu_drop, fix_first_pos,
+    cfg: WildcatConfig,
+    emit_cloud: bool = False,
+):
+    """One sweep per device dispatch (see :func:`_process_sweep_impl`)."""
+    return _process_sweep_impl(
+        state, imu_t, imu_acc, imu_gyr, imu_n, sample_t, sample_n,
+        pts, pts_t, pts_n, n_sample_drop, n_imu_drop, fix_first_pos,
+        cfg, emit_cloud)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def process_sweeps_chained(
+    state: WindowState,
+    # every feed array carries a leading (k,) chunk axis
+    imu_t, imu_acc, imu_gyr, imu_n,
+    sample_t, sample_n,
+    pts, pts_t, pts_n,
+    n_sample_drop, n_imu_drop, fix_first_pos,
+    cfg: WildcatConfig,
+):
+    """k sweeps in ONE device dispatch: ``lax.scan`` over the sweep body.
+
+    The wall-clock attack for offline replay (the reference's rosbag loop,
+    wildcat_slam_node.cc:86-98): through the TPU tunnel each dispatch + fetch
+    round-trip costs ~30 ms — 68% of the per-sweep wall time at round-4 state
+    (BENCH_r04) — and every sweep paid one. All of ``_prepare_feed``'s
+    bookkeeping is host-only (it never reads device results), so offline
+    replay can stage k sweeps of feeds and run them through one scan,
+    amortizing the RPC floor k-fold. Streaming keeps the per-sweep path
+    (chaining would add up to k sweeps of latency).
+
+    Returns ``(state, packed)`` with packed (k, n_packed) — one row per sweep,
+    fetched by the host in a single transfer.
+    """
+    feeds = (imu_t, imu_acc, imu_gyr, imu_n, sample_t, sample_n,
+             pts, pts_t, pts_n, n_sample_drop, n_imu_drop, fix_first_pos)
+
+    def body(st, feed):
+        st, out = _process_sweep_impl(st, *feed, cfg=cfg, emit_cloud=False)
+        return st, out["packed"]
+
+    state, packed = jax.lax.scan(body, state, feeds)
+    return state, packed
+
+
 def _voxel_decimate_indices(xyz: np.ndarray, cap: int, size0: float) -> np.ndarray:
     """Spatially uniform decimation of an overfull sweep: keep the first point
     per voxel, coarsening the grid geometrically until the kept count fits the
@@ -323,10 +387,18 @@ class LidarOdometry:
     ``use_native=True`` swaps the host feeder (point filtering/buffering and IMU
     resampling) for the C++ implementation in native/feeder.cc via ctypes; both
     paths are output-identical (tests/test_native.py).
+
+    ``chunk_sweeps=k`` (offline replay): stage k sweeps of feeds host-side and
+    run them through ONE device dispatch (:func:`process_sweeps_chained`),
+    amortizing the host<->device round-trip k-fold. Reading ``trajectory`` /
+    ``stats`` flushes any partial chunk first (padded with no-op feeds), so do
+    it at end-of-run, not per sweep — mid-run reads are correct but pay the
+    padding. Incompatible with cloud collection and debug_residuals (both
+    need per-sweep device outputs).
     """
 
     def __init__(self, cfg: WildcatConfig = WildcatConfig(), collect_clouds: bool = False,
-                 use_native: bool = False):
+                 use_native: bool = False, chunk_sweeps: int = 1):
         self.cfg = cfg
         self.dtype = jnp.float32 if cfg.dtype == "float32" else jnp.float64
         self._np_dtype = np.float32 if cfg.dtype == "float32" else np.float64
@@ -349,6 +421,15 @@ class LidarOdometry:
         # once through the sharded program, reusing _ready/_prepare_feed/
         # _commit from here.
         self.dispatch = True
+        self.chunk = int(chunk_sweeps)
+        if self.chunk < 1:
+            raise ValueError(f"chunk_sweeps must be >= 1, got {chunk_sweeps}")
+        if self.chunk > 1 and (collect_clouds or cfg.debug_residuals):
+            raise ValueError(
+                "chunk_sweeps > 1 is incompatible with collect_clouds / "
+                "debug_residuals: both need per-sweep device outputs, which "
+                "the chained dispatch does not emit")
+        self._feed_queue: List[dict] = []  # prepared-but-undispatched sweeps
         self.imu_queue: List[tuple] = []   # resampled (t, acc, gyr), f64
         self._last_raw_imu_t: Optional[float] = None
         self._warned_overflow = False
@@ -371,12 +452,19 @@ class LidarOdometry:
         self._stride = int(round(cfg.sample_dt * cfg.imu_rate))
 
     def _flush(self) -> None:
+        self.flush_chunks()
         if not self._pending:
             return
         pending, self._pending = self._pending, []
-        fetched = jax.device_get([o for _, o, _ in pending])
-        for (back, _, host_stats), v in zip(pending, fetched):
-            v = np.asarray(v, np.float64)
+        # one transfer per distinct device array: chunked entries share one
+        # (k, n_packed) array — fetch it once, index rows on the host
+        uniq: dict = {}
+        for _, obj, _, _ in pending:
+            uniq.setdefault(id(obj), obj)
+        fetched = dict(zip(uniq.keys(), jax.device_get(list(uniq.values()))))
+        for back, obj, host_stats, row in pending:
+            v = fetched[id(obj)]
+            v = np.asarray(v if row is None else v[row], np.float64)
             self._trajectory.append((back, v[0:3], v[3:7]))
             warn = self.cfg.degeneracy_warn_ratio
             self._stats.append(dict(
@@ -495,6 +583,15 @@ class LidarOdometry:
 
         prep = self._prepare_feed()
         _tm1 = time.perf_counter()
+        if self.chunk > 1:
+            # chained mode: stage the feed; dispatch once a full chunk exists
+            self._feed_queue.append(prep)
+            self.timing["prep"] += _tm1 - _tm0
+            self.timing["sweeps"] += 1
+            if len(self._feed_queue) >= self.chunk:
+                q, self._feed_queue = self._feed_queue, []
+                self._dispatch_chunk(q)
+            return True
         # numpy args go straight into the jitted call: one transfer each inside
         # the dispatch, no separate asarray/convert round-trips per argument
         state, out = process_sweep(self.state, *prep["args"], cfg,
@@ -508,6 +605,36 @@ class LidarOdometry:
         self.timing["post"] += _tm3 - _tm2
         self.timing["sweeps"] += 1
         return True
+
+    def _dispatch_chunk(self, preps: List[dict]) -> None:
+        """Run len(preps) staged sweeps (noop-padded to the chunk size) through
+        ONE :func:`process_sweeps_chained` dispatch; their packed outputs come
+        back as one (k, n_packed) array fetched in a single transfer."""
+        _tm1 = time.perf_counter()
+        feeds = [p["args"] for p in preps]
+        # pad a partial tail chunk with no-op feeds so the compiled (k,)-shape
+        # program is reused; the padding rows' outputs are discarded (the
+        # extra solves only refine the final window state, after every real
+        # sweep's pose has been produced)
+        while len(feeds) < self.chunk:
+            feeds.append(self.noop_feed())
+        stacked = [np.stack([f[j] for f in feeds]) for j in range(len(feeds[0]))]
+        self.state, packed = process_sweeps_chained(self.state, *stacked, self.cfg)
+        _tm2 = time.perf_counter()
+        packed.copy_to_host_async()
+        for i, p in enumerate(preps):
+            self._pending.append((p["back"], packed, p["host_stats"], i))
+            self.sweep_id += 1
+        self.timing["dispatch"] += _tm2 - _tm1
+        self.timing["post"] += time.perf_counter() - _tm2
+
+    def flush_chunks(self) -> None:
+        """Dispatch any staged-but-undispatched sweeps (chunked mode) as one
+        noop-padded final chunk. Reading ``trajectory``/``stats`` calls this;
+        no-op when the queue is empty or chunking is off."""
+        if self._feed_queue:
+            q, self._feed_queue = self._feed_queue, []
+            self._dispatch_chunk(q)
 
     def _prepare_feed(self) -> dict:
         """Build one sweep's padded feed arrays and commit the sweep's host
@@ -658,7 +785,7 @@ class LidarOdometry:
         output's transfer starts immediately (async) and is materialized
         lazily by the trajectory/stats accessors."""
         out["packed"].copy_to_host_async()
-        self._pending.append((back, out["packed"], host_stats))
+        self._pending.append((back, out["packed"], host_stats, None))
         if "residuals" in out:
             rs, rsv, ri, riv = jax.device_get(out["residuals"])
             entry = dict(

@@ -271,8 +271,15 @@ def solve_window(
     pcg_iters: int = 96,
     pcg_tol: float = 1e-6,
     n_binary: int | None = None,
+    remap_proj: tuple | None = None,
 ):
     """Optimize the correction state of the sliding window in place.
+
+    ``remap_proj`` (optional): ``(W_t, W_r)`` weak-subspace projectors from
+    :func:`factors.degeneracy_projectors` — every LM step's common-mode
+    translation/rotation component along the collapsed directions is removed
+    before the candidate evaluation (degeneracy solution remapping; exact
+    no-op when both W are zero, i.e. on healthy scenes).
 
     Returns (sample with updated cor, SolveStats).
     """
@@ -296,6 +303,30 @@ def solve_window(
     # interpolation (MXU matmul instead of row gathers) and the gradient /
     # cross-term contractions
     w_interp = fmod.interp_weights(sfac, s_cap, dtype)
+
+    # degeneracy solution remapping (Zhang & Singh ICRA'16 §V adapted to the
+    # joint solve): remove the common-mode step along the weak axes — the
+    # differential components (IMU-observable) pass through untouched, and
+    # the dead-reckoned prediction stands in along the collapsed directions.
+    # Applied to the candidate BEFORE its cost evaluation so acceptance and
+    # the gain ratio see the step that is actually taken.
+    if remap_proj is not None:
+        w_t_proj, w_r_proj = remap_proj
+        smask = (jnp.arange(s_cap) < sample.count).astype(dtype)   # (S,)
+        s_count = jnp.maximum(jnp.sum(smask), 1.0)
+
+        def remap_step(delta):
+            d2 = delta.reshape(s_cap, 12)
+            mean_rot = jnp.einsum("s,si->i", smask, d2[:, 0:3]) / s_count
+            mean_pos = jnp.einsum("s,si->i", smask, d2[:, 3:6]) / s_count
+            sub_rot = w_r_proj @ mean_rot     # weak-subspace common mode
+            sub_pos = w_t_proj @ mean_pos
+            d2 = d2.at[:, 0:3].add(-smask[:, None] * sub_rot[None, :])
+            d2 = d2.at[:, 3:6].add(-smask[:, None] * sub_pos[None, :])
+            return d2.reshape(-1)
+    else:
+        def remap_step(delta):
+            return delta
 
     # the fused Pallas PCG runs on real TPU backends only ("pcg_xla" forces the
     # portable lax.while_loop path; CPU tests and f64 always use it), and only
@@ -388,6 +419,7 @@ def solve_window(
         else:
             h_damped = h + lam * jnp.diag(d)
             delta = -jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(h_damped), g)
+        delta = remap_step(delta)
         new_flat = cor_flat + delta
         new_cost = eval_cost(new_flat)
         # gain ratio: actual / predicted decrease of the quadratic model
