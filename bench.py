@@ -73,8 +73,14 @@ def main():
                                 room_half=5.0, seed=0)
     else:
         cfg = WildcatConfig()  # shipped defaults — production shapes
-        seq = SyntheticSequence(duration=30.0, points_per_scan=12800, room_half=5.0, seed=0)
+        seq = SyntheticSequence(duration=50.0, points_per_scan=12800, room_half=5.0, seed=0)
     lo = LidarOdometry(cfg)
+    # offline replay's recommended mode is --chunk-sweeps K (k-sweep chained
+    # dispatch, round 5): after the per-sweep wall window + device trace, the
+    # run switches to chunked dispatch and times full chunks only — that is
+    # the wall number an offline user of this tunnel-attached environment
+    # actually gets. K=8 amortizes the per-dispatch RPC floor 8-fold.
+    chunk_k = 0 if r01 else 8  # r01 continuity row keeps its fixed definition
 
     trace_dir = tempfile.mkdtemp(prefix="wc_bench_trace_")
     imu_iter = iter(seq.imu)
@@ -85,7 +91,12 @@ def main():
     # counted); keep that definition for the continuity row
     steady_from = 1.0 if r01 else cfg.fixed_window_duration + cfg.sweep_duration
     wall_sweeps = 12  # untraced steady sweeps for the wall numbers
-    tracing = False
+    trace_sweeps = 6
+    tracing = trace_done = False
+    n_trace0 = 0
+    t_c0 = None  # chunked-phase clock start (after the chained-program compile)
+    n_c0 = n_ck = 0
+    t_ck = None  # time of the flush after the latest full chunk
     for ts, pl in seq.scans:
         while pending is not None and pending[0] <= ts[-1] + 0.01:
             lo.add_imu(*pending)
@@ -98,13 +109,29 @@ def main():
             _ = lo.trajectory  # flush the ramp-up tail
             t_steady = time.perf_counter()
             n_pre = lo.sweep_id
-        if (t_steady is not None and not tracing and t_wall_end is None
-                and lo.sweep_id - n_pre >= wall_sweeps):
+        if (t_steady is not None and not tracing and not trace_done
+                and t_wall_end is None and lo.sweep_id - n_pre >= wall_sweeps):
             _ = lo.trajectory  # wall window closes fully flushed
             t_wall_end = time.perf_counter()
             n_wall = lo.sweep_id - n_pre
+            n_trace0 = lo.sweep_id
             jax.profiler.start_trace(trace_dir)
             tracing = True
+        if tracing and lo.sweep_id - n_trace0 >= trace_sweeps:
+            _ = lo.trajectory
+            jax.profiler.stop_trace()
+            tracing, trace_done = False, True
+            if chunk_k > 1:  # phase B: switch the SAME run to chained dispatch
+                lo.chunk = chunk_k
+        if chunk_k > 1 and trace_done:
+            if t_c0 is None and lo.sweep_id - n_trace0 - trace_sweeps >= chunk_k:
+                _ = lo.trajectory  # first chunk carries the chained compile
+                t_c0 = time.perf_counter()
+                n_c0 = lo.sweep_id
+            elif (t_c0 is not None and lo.sweep_id - n_ck - n_c0 >= chunk_k):
+                _ = lo.trajectory  # flush right after each full chunk
+                t_ck = time.perf_counter()
+                n_ck = lo.sweep_id - n_c0
     if tracing:
         _ = lo.trajectory
         jax.profiler.stop_trace()
@@ -118,7 +145,21 @@ def main():
                           "vs_baseline": 0.0, "error": "too few steady-state sweeps"}))
         return 1
 
-    wall_per_sweep = (t_wall_end - t_steady) / n_wall
+    per_dispatch_wall = (t_wall_end - t_steady) / n_wall
+    per_dispatch_rtf = cfg.sweep_duration / per_dispatch_wall
+    # phase B: chunked offline replay (the recommended --chunk-sweeps mode).
+    # t_c0 closes after the FIRST full chunk (which carries the chained-program
+    # compile); t_ck/n_ck track the latest full-chunk flush after that, so the
+    # window times only steady chained dispatches incl. their per-chunk fetch.
+    chunked_per_sweep = None
+    if chunk_k > 1 and t_c0 is not None and t_ck is not None and n_ck >= chunk_k:
+        chunked_per_sweep = (t_ck - t_c0) / n_ck
+    if chunked_per_sweep is not None:
+        wall_per_sweep = chunked_per_sweep
+        wall_mode = f"chunked_k{chunk_k}"
+    else:  # r01 continuity row / short runs: per-dispatch wall, as r01-r04
+        wall_per_sweep = per_dispatch_wall
+        wall_mode = "per_dispatch"
     wall_rtf = cfg.sweep_duration / wall_per_sweep
     per_ramp = (t_steady - t_start) / max(n_pre - 1, 1)
     ate = ate_rmse(lo.trajectory, lambda t: seq.gt_pose(t)[0], align=False)
@@ -142,7 +183,12 @@ def main():
         "traced_sweeps": n_traced,
         "wall_rtf": round(wall_rtf, 3),
         "wall_per_sweep_ms": round(wall_per_sweep * 1e3, 1),
-        "tunnel_overhead_ms": round(wall_per_sweep * 1e3 - dev_ms, 1),
+        "wall_mode": wall_mode,
+        "per_dispatch_wall_rtf": round(per_dispatch_rtf, 3),
+        "per_dispatch_wall_ms": round(per_dispatch_wall * 1e3, 1),
+        "chunk_sweeps": chunk_k,
+        "chunked_sweeps_timed": n_ck if chunked_per_sweep is not None else 0,
+        "tunnel_overhead_ms": round(per_dispatch_wall * 1e3 - dev_ms, 1),
         "sweeps": lo.sweep_id,
         "steady_sweeps": n_wall,
         "realtime_factor_rampup": round(cfg.sweep_duration / per_ramp, 3),

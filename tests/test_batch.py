@@ -136,6 +136,135 @@ def test_cli_batch_dataset_dir_sources(tmp_path):
         assert sum(1 for _ in open(p)) >= 2
 
 
+def _events(seq):
+    evs, i_imu = [], 0
+    for times, pts in seq.scans:
+        while i_imu < len(seq.imu) and seq.imu[i_imu][0] <= times[-1] + 0.01:
+            evs.append(("imu", *seq.imu[i_imu]))
+            i_imu += 1
+        evs.append(("scan", times, pts))
+    return evs
+
+
+def _feed(bo, i, evs):
+    for ev in evs:
+        if ev[0] == "imu":
+            bo.add_imu(i, ev[1], ev[2], ev[3])
+        else:
+            bo.add_scan(i, ev[1], ev[2])
+
+
+@pytest.mark.full
+def test_batch_checkpoint_resume(tmp_path):
+    # save mid-run -> load -> continue must equal the uninterrupted batch run
+    # (VERDICT r4 item 7: per-window checkpoint/resume for BatchedOdometry)
+    from wildcat_slam_tpu.odometry import checkpoint
+    from wildcat_slam_tpu.parallel.batch import BatchedOdometry
+
+    cfg = _small_cfg()
+    seqs = [SyntheticSequence(duration=3.0, points_per_scan=1500, room_half=5.0, seed=0),
+            SyntheticSequence(duration=3.0, points_per_scan=1500, room_half=5.0, seed=1)]
+    evs = [_events(s) for s in seqs]
+
+    ref = BatchedOdometry(cfg, batch=2)
+    for i, e in enumerate(evs):
+        _feed(ref, i, e)
+        ref.pump()
+    ref.finish()
+    assert all(len(t) >= 4 for t in ref.trajectories)
+
+    cut = [int(len(e) * 0.6) for e in evs]
+    bo1 = BatchedOdometry(cfg, batch=2)
+    for i, e in enumerate(evs):
+        _feed(bo1, i, e[:cut[i]])
+    bo1.pump()
+    assert all(w.sweep_id >= 1 for w in bo1.windows)  # mid-run, not trivial
+    paths = checkpoint.save_batch(str(tmp_path / "bk.npz"), bo1)
+    assert paths == [str(tmp_path / f"bk.w{i}.npz") for i in range(2)]
+
+    bo2 = checkpoint.load_batch(paths)
+    assert bo2._initialized
+    assert [w.sweep_id for w in bo2.windows] == [w.sweep_id for w in bo1.windows]
+    for i, e in enumerate(evs):
+        _feed(bo2, i, e[cut[i]:])
+        bo2.pump()
+    bo2.finish()
+
+    for tr_ref, tr_got in zip(ref.trajectories, bo2.trajectories):
+        assert len(tr_got) == len(tr_ref)
+        for (t1, p1, q1), (t2, p2, q2) in zip(tr_ref, tr_got):
+            assert abs(t1 - t2) < 1e-9
+            np.testing.assert_allclose(p2, p1, atol=1e-4)
+            np.testing.assert_allclose(q2, q1, atol=1e-4)
+
+    # each per-window file is ALSO a valid single-window checkpoint
+    lo = checkpoint.load(paths[1])
+    assert lo.sweep_id == bo1.windows[1].sweep_id
+
+
+def test_load_batch_rejects_mixed_init(tmp_path):
+    from wildcat_slam_tpu.odometry import checkpoint
+    from wildcat_slam_tpu.parallel.batch import BatchedOdometry
+
+    cfg = _small_cfg()
+    seq = SyntheticSequence(duration=1.8, points_per_scan=1200, room_half=5.0, seed=0)
+    bo = BatchedOdometry(cfg, batch=2)
+    _feed(bo, 0, _events(seq))
+    # window 1 never gets data: pump can't init (lockstep), both stay host-only
+    assert bo.pump() == 0
+    p_cold = str(tmp_path / "cold.npz")
+    checkpoint.save(p_cold, bo.windows[1])
+
+    _feed(bo, 1, _events(SyntheticSequence(duration=1.8, points_per_scan=1200,
+                                           room_half=5.0, seed=1)))
+    bo.pump()
+    assert bo.windows[0].sweep_id >= 1
+    import jax
+
+    p_warm = str(tmp_path / "warm.npz")
+    ws = jax.device_get(bo.state)
+    bo.windows[0].state = jax.tree_util.tree_map(lambda x: x[0], ws)
+    checkpoint.save(p_warm, bo.windows[0])
+
+    with pytest.raises(ValueError, match="mixed window init"):
+        checkpoint.load_batch([p_warm, p_cold])
+
+
+@pytest.mark.full
+def test_cli_batch_checkpoint_resume_roundtrip(tmp_path):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8").strip()
+    srcs = "synthetic:2.6:room:0,synthetic:2.6:room:1"
+    ck = str(tmp_path / "ck.npz")
+    r1 = subprocess.run(
+        [sys.executable, "-m", "wildcat_slam_tpu.cli", "--batch", srcs,
+         "--device", "cpu", "--max-sweeps", "2", "--checkpoint-out", ck],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert "state checkpoints ->" in r1.stderr
+    for i in range(2):
+        assert os.path.exists(str(tmp_path / f"ck.w{i}.npz"))
+
+    # resume from the same sources: consumed events drop-and-count, the run
+    # continues past sweep 2; --verbose exercises the per-window stats lines
+    traj = str(tmp_path / "r.tum")
+    r2 = subprocess.run(
+        [sys.executable, "-m", "wildcat_slam_tpu.cli", "--batch", srcs,
+         "--device", "cpu", "--resume", ck, "--traj-out", traj, "--verbose"],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "this run" in r2.stderr
+    assert "dropped out-of-order" in r2.stderr
+    assert "w0 sweep 3:" in r2.stderr  # verbose numbering continues post-resume
+    for i in range(2):
+        p = str(tmp_path / f"r_w{i}.tum")
+        assert os.path.exists(p), r2.stderr[-1000:]
+        assert sum(1 for _ in open(p)) >= 3  # past the pre-checkpoint 2 sweeps
+
+
 def test_batch_size_must_divide_mesh():
     from wildcat_slam_tpu.parallel.batch import BatchedOdometry
 

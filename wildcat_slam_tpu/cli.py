@@ -67,7 +67,29 @@ def _run_batch(args, cfg) -> int:
         if s.split(":")[0] != "synthetic" and not os.path.exists(s):
             print(f"--batch: no such source: {s}", file=sys.stderr)
             return 2
-    bo = BatchedOdometry(cfg, batch=len(specs), use_native=args.native)
+    if args.resume:
+        from wildcat_slam_tpu.odometry import checkpoint
+
+        # --resume takes the base path given to --checkpoint-out (expands to
+        # the .w{i} per-window files) or an explicit comma-separated list
+        if "," in args.resume:
+            paths = [p.strip() for p in args.resume.split(",") if p.strip()]
+        else:
+            paths = checkpoint.batch_paths(args.resume, len(specs))
+        missing = [p for p in paths if not os.path.exists(p)]
+        if missing:
+            print(f"--resume: missing batch checkpoint files: {missing}",
+                  file=sys.stderr)
+            return 2
+        if len(paths) != len(specs):
+            print(f"--resume: {len(paths)} checkpoint files for {len(specs)} "
+                  "--batch sources", file=sys.stderr)
+            return 2
+        bo = checkpoint.load_batch(paths,
+                                   use_native=True if args.native else None)
+        cfg = bo.cfg  # the checkpoints' config wins, like single-window resume
+    else:
+        bo = BatchedOdometry(cfg, batch=len(specs), use_native=args.native)
     print(f"batch: {len(specs)} windows over a {bo.mesh.devices.size}-device "
           f"mesh ({jax.devices()[0].platform})", file=sys.stderr)
 
@@ -77,35 +99,87 @@ def _run_batch(args, cfg) -> int:
     # contract. A persistent iterator keeps per-source position across rounds.
     its = [iter(_batch_events(s, args.imu_topic, args.lidar_topic)) for s in specs]
     live = [True] * len(its)
+    sweeps0 = [w.sweep_id for w in bo.windows]  # nonzero when resuming
+    seen = [len(w.stats) for w in bo.windows]  # per-window stats already shown
+    ooo_dropped = {"imu": 0, "scan": 0}  # same quirk policy as single-window
+
+    def feed(i, ev):
+        # resume re-reads the SAME sources from the start: already-consumed
+        # events carry timestamps behind the restored frontier and trip the
+        # add_imu/add_scan time-order contract — drop-and-count them exactly
+        # like the single-window CLI's field-quirk policy (--strict raises)
+        try:
+            if ev[0] == "imu":
+                bo.add_imu(i, ev[1], ev[2], ev[3])
+            else:
+                bo.add_scan(i, ev[1], ev[2])
+        except ValueError:
+            if args.strict:
+                raise
+            ooo_dropped[ev[0]] += 1
+
+    def report_new():
+        if not args.verbose:
+            return
+        for i, w in enumerate(bo.windows):
+            for st in w.stats[seen[i]:]:
+                deg = (" DEGENERATE" if st["degenerate"] else "")
+                print(
+                    f"w{i} sweep {sweeps0[i] + seen[i] + 1}: "
+                    f"surfels={int(st['n_new_surfels'])} "
+                    f"pairs={int(st['n_pairs_sld'])}/{int(st['n_pairs_fix'])} "
+                    f"iters={int(st['iterations'])} "
+                    f"cost {float(st['initial_cost']):.3f}->"
+                    f"{float(st['final_cost']):.3f} "
+                    f"deg={float(st['deg_trans_ratio']):.3f}/"
+                    f"{float(st['deg_rot_ratio']):.3f}{deg}",
+                    file=sys.stderr)
+                seen[i] += 1
+
+    def hit_max():
+        return args.max_sweeps and min(
+            w.sweep_id - s0 for w, s0 in zip(bo.windows, sweeps0)) >= args.max_sweeps
+
     t0 = time.perf_counter()
     while any(live):
         for i, it in enumerate(its):
             if not live[i]:
                 continue
             for ev in it:  # feed through the next scan of segment i
-                if ev[0] == "imu":
-                    bo.add_imu(i, ev[1], ev[2], ev[3])
-                else:
-                    bo.add_scan(i, ev[1], ev[2])
+                feed(i, ev)
+                if ev[0] == "scan":
                     break
             else:
                 live[i] = False
         bo.pump()
-        if args.max_sweeps and min(w.sweep_id for w in bo.windows) >= args.max_sweeps:
+        report_new()
+        if hit_max():
             live = [False] * len(its)
             break
-    if not (args.max_sweeps and min(w.sweep_id for w in bo.windows) >= args.max_sweeps):
+    if not hit_max():
         bo.finish()
+        report_new()
     elapsed = time.perf_counter() - t0
 
-    total = sum(w.sweep_id for w in bo.windows)
+    total = sum(w.sweep_id - s0 for w, s0 in zip(bo.windows, sweeps0))
     for i, w in enumerate(bo.windows):
         n_deg = sum(1 for s in w.stats if s.get("degenerate"))
         print(f"window {i}: {w.sweep_id} sweeps"
+              + (f" ({w.sweep_id - sweeps0[i]} this run)" if sweeps0[i] else "")
               + (f", {n_deg} DEGENERATE" if n_deg else ""), file=sys.stderr)
+    if ooo_dropped["imu"] or ooo_dropped["scan"]:
+        print(f"dropped out-of-order: {ooo_dropped['imu']} imu, "
+              f"{ooo_dropped['scan']} scans (resume replay and recorder "
+              "quirks; --strict raises instead)", file=sys.stderr)
     print(f"batch total: {total} sweeps in {elapsed:.2f}s "
           f"({cfg.sweep_duration * total / max(elapsed, 1e-9):.2f}x real-time "
           "incl. compile, all windows)", file=sys.stderr)
+
+    if args.checkpoint_out:
+        from wildcat_slam_tpu.odometry import checkpoint
+
+        paths = checkpoint.save_batch(args.checkpoint_out, bo)
+        print(f"state checkpoints -> {', '.join(paths)}", file=sys.stderr)
 
     if args.traj_out:
         from wildcat_slam_tpu.io.trajectory import save_tum
@@ -230,9 +304,10 @@ def main(argv=None) -> int:
     from wildcat_slam_tpu.utils.profiling import StageTimer, trace
 
     if args.batch:
-        if args.resume or args.stream or args.cloud_out or args.checkpoint_out:
-            ap.error("--batch is incompatible with --resume/--stream/"
-                     "--cloud-out/--checkpoint-out")
+        if args.stream or args.cloud_out:
+            ap.error("--batch is incompatible with --stream/--cloud-out "
+                     "(per-window clouds and live streams stop at the batch "
+                     "boundary; checkpoint/resume and --verbose work)")
         cfg = WildcatConfig(imu_rate=args.imu_rate,
                             match_knn_approx=not args.exact_knn,
                             degeneracy_remap=args.degeneracy_remap)

@@ -9,6 +9,7 @@ so a long mapping run can resume mid-sequence.
 from __future__ import annotations
 
 import json
+import os
 
 import numpy as np
 import jax
@@ -95,3 +96,57 @@ def load(path: str, use_native: bool = None) -> LidarOdometry:
     lo.points.restore(d["pts_t"], d["pts_xyz"])
     lo.resampler.set_state(d["resampler"])
     return lo
+
+
+# ---------------------------------------------------------------- batch mode
+
+def batch_paths(path: str, n: int) -> list:
+    """Per-window file names for a batch checkpoint: ``out.npz`` ->
+    ``out.w0.npz .. out.w{n-1}.npz``. Each file is a complete SINGLE-window
+    checkpoint — any window of a batch run can also be resumed standalone."""
+    base, ext = os.path.splitext(path)
+    return [f"{base}.w{i}{ext or '.npz'}" for i in range(n)]
+
+
+def save_batch(path: str, bo) -> list:
+    """Checkpoint a :class:`~wildcat_slam_tpu.parallel.batch.BatchedOdometry`
+    as one single-window-format file per window (see :func:`batch_paths`).
+    The batched device state is fetched once and sliced per window; host
+    bookkeeping lives in the embedded frontends already."""
+    paths = batch_paths(path, len(bo.windows))
+    host_state = jax.device_get(bo.state)
+    for i, (p, w) in enumerate(zip(paths, bo.windows)):
+        # the window's slice of the batched state IS its single-window state
+        w.state = jax.tree_util.tree_map(lambda x: x[i], host_state)
+        save(p, w)
+    return paths
+
+
+def load_batch(paths, use_native: bool = None, n_devices: int = None):
+    """Restore a BatchedOdometry from per-window checkpoint files (written by
+    :func:`save_batch`, or any set of compatible single-window checkpoints).
+    All files must share one config and one init status — the batched step is
+    lockstep, so a mixed set cannot have come from one batch run."""
+    from wildcat_slam_tpu.parallel.batch import BatchedOdometry
+
+    los = [load(p, use_native=use_native) for p in paths]
+    if len({lo.cfg.to_json() for lo in los}) != 1:
+        raise ValueError("batch resume: checkpoint configs differ across windows")
+    inits = {bool(lo.initialized) for lo in los}
+    if len(inits) != 1:
+        raise ValueError(
+            "batch resume: mixed window init status across checkpoints — "
+            "these files were not written by one lockstep batch run")
+    bo = BatchedOdometry(los[0].cfg, batch=len(los), n_devices=n_devices,
+                         use_native=bool(getattr(los[0], "use_native", False)))
+    for i, lo in enumerate(los):
+        lo.dispatch = False  # the batch driver steps; frontends only buffer
+        bo.windows[i] = lo
+    per_win = [jax.tree_util.tree_leaves(jax.device_get(lo.state)) for lo in los]
+    template = jax.tree_util.tree_structure(bo.state)
+    sharding = jax.tree_util.tree_leaves(bo.state)[0].sharding
+    bo.state = jax.tree_util.tree_unflatten(
+        template,
+        [jax.device_put(np.stack(ls), sharding) for ls in zip(*per_win)])
+    bo._initialized = inits.pop()
+    return bo
