@@ -17,7 +17,7 @@ from wildcat_slam_tpu.io.synthetic import SyntheticSequence, ate_rmse
 from wildcat_slam_tpu.odometry.pipeline import LidarOdometry
 
 
-def run(chunk: int, duration: float = 30.0):
+def run(chunk: int, duration: float = 60.0):
     cfg = WildcatConfig()
     seq = SyntheticSequence(duration=duration, points_per_scan=12800,
                             room_half=5.0, seed=0)
@@ -25,22 +25,38 @@ def run(chunk: int, duration: float = 30.0):
     imu_iter = iter(seq.imu)
     pending = next(imu_iter, None)
     steady_from = cfg.fixed_window_duration + cfg.sweep_duration
-    t_steady = None
-    n_pre = 0
+    # time only WHOLE-chunk intervals in the steady state: a flush mid-chunk
+    # pads with up to k-1 noop solves, which a 20-sweep window cannot amortize
+    # at k >= 16 (a real replay pays that padding exactly once, at the tail)
+    t0 = t_last = None
+    n0 = 0
+    mark = None  # sweep_id at the last boundary stamp
+    steady = False
     for ts, pl in seq.scans:
         while pending is not None and pending[0] <= ts[-1] + 0.01:
             lo.add_imu(*pending)
             pending = next(imu_iter, None)
         lo.add_scan(ts, pl)
-        if t_steady is None and ts[-1] > steady_from:
+        if not steady and ts[-1] > steady_from:
             _ = lo.trajectory  # flush ramp (and any partial chunk)
-            t_steady = time.perf_counter()
-            n_pre = lo.sweep_id
-    _ = lo.trajectory  # full flush: all chunks dispatched + fetched
-    t_end = time.perf_counter()
-    n = lo.sweep_id - n_pre
+            steady = True
+            mark = lo.sweep_id
+        if steady and lo.sweep_id - mark >= max(chunk, 1):
+            # a full chunk has been dispatched since the last mark: flush and
+            # stamp the boundary (first boundary starts the clock — it carries
+            # the chained-program compile at k > 1)
+            _ = lo.trajectory
+            mark = lo.sweep_id
+            if t0 is None:
+                t0, n0 = time.perf_counter(), lo.sweep_id
+            else:
+                t_last = time.perf_counter()
+    _ = lo.trajectory  # full flush (tail padding excluded from the timing)
     ate = ate_rmse(lo.trajectory, lambda t: seq.gt_pose(t)[0], align=False)
-    wall_ms = (t_end - t_steady) / n * 1e3
+    if t_last is None:
+        return float("nan"), 0, ate, lo.timing
+    n = mark - n0
+    wall_ms = (t_last - t0) / n * 1e3
     return wall_ms, n, ate, lo.timing
 
 
