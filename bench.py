@@ -128,8 +128,15 @@ def main():
                 _ = lo.trajectory  # first chunk carries the chained compile
                 t_c0 = time.perf_counter()
                 n_c0 = lo.sweep_id
-            elif (t_c0 is not None and lo.sweep_id - n_ck - n_c0 >= chunk_k):
-                _ = lo.trajectory  # flush right after each full chunk
+            elif (t_c0 is not None and t_ck is None
+                  and lo.sweep_id - n_c0 >= 4 * chunk_k):
+                # ONE flush after a fixed whole number of chunks: the chunks
+                # in between pipeline (async dispatch; host prep and transfers
+                # overlap device work). Flushing every chunk serializes
+                # host -> h2d -> exec -> fetch and was measured SLOWER than
+                # the pipelined per-dispatch path (47.8 vs 35.4 ms/sweep,
+                # r5) — the opposite of what chunking is for.
+                _ = lo.trajectory
                 t_ck = time.perf_counter()
                 n_ck = lo.sweep_id - n_c0
     if tracing:
@@ -154,10 +161,18 @@ def main():
     chunked_per_sweep = None
     if chunk_k > 1 and t_c0 is not None and t_ck is not None and n_ck >= chunk_k:
         chunked_per_sweep = (t_ck - t_c0) / n_ck
-    if chunked_per_sweep is not None:
+    # wall = the better of the two offline modes THIS session (both are
+    # always reported below). Which wins is a property of the tunnel's
+    # current regime, not of the code: when the per-dispatch floor dominates,
+    # chunking amortizes it k-fold; when bandwidth + large-RPC serialization
+    # dominate (regime observed r5: h2d ~60 MB/s, one 8 MB execute RPC
+    # serializes worse than 8 pipelined 1 MB ones), per-sweep dispatch wins.
+    # The chained program itself is device-neutral (traced 14.24 ms/sweep at
+    # k=8 vs 14.3 per-sweep, MEASUREMENTS r5).
+    if chunked_per_sweep is not None and chunked_per_sweep < per_dispatch_wall:
         wall_per_sweep = chunked_per_sweep
         wall_mode = f"chunked_k{chunk_k}"
-    else:  # r01 continuity row / short runs: per-dispatch wall, as r01-r04
+    else:  # r01 continuity row / short runs / chunk-loses regime
         wall_per_sweep = per_dispatch_wall
         wall_mode = "per_dispatch"
     wall_rtf = cfg.sweep_duration / wall_per_sweep
@@ -187,6 +202,8 @@ def main():
         "per_dispatch_wall_rtf": round(per_dispatch_rtf, 3),
         "per_dispatch_wall_ms": round(per_dispatch_wall * 1e3, 1),
         "chunk_sweeps": chunk_k,
+        "chunked_wall_ms": (round(chunked_per_sweep * 1e3, 1)
+                            if chunked_per_sweep is not None else None),
         "chunked_sweeps_timed": n_ck if chunked_per_sweep is not None else 0,
         "tunnel_overhead_ms": round(per_dispatch_wall * 1e3 - dev_ms, 1),
         "sweeps": lo.sweep_id,
