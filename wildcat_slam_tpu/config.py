@@ -134,9 +134,17 @@ class WildcatConfig:
     # common-mode translation/rotation component along that axis is removed —
     # the pose dead-reckons on IMU there instead of random-walking on lidar
     # noise. Exact no-op on healthy scenes (the projectors are exact zeros
-    # when no direction is weak). A/B validation on the weak regimes:
-    # MEASUREMENTS.md round 5. The reference solves blind in degenerate
-    # geometry (lidar_odometry.cc:540-562 — no analog).
+    # when no direction is weak). A/B validation (MEASUREMENTS.md round 5) is
+    # REGIME-DEPENDENT, which is why the default stays False: at sparse
+    # configs where the weak eigenvalue is truly null (CPU small-config
+    # cylinder: 39.3 -> 3.8 mm) the remap suppresses the random walk 10x, but
+    # at the shipped 64k config the same scene's "weak" axis (ratio 2.3e-3 of
+    # a large lambda_max) still aggregates enough absolute constraint that
+    # solving beats dead-reckoning — remap measured 11.6 -> 34.0 mm (6 s) and
+    # 17.4 -> 45.5 mm (15 s) WORSE on real TPU. Enable only for feature-poor
+    # sensors/configs where flagged sweeps show visible along-axis drift.
+    # The reference solves blind in degenerate geometry
+    # (lidar_odometry.cc:540-562 — no analog).
     degeneracy_remap: bool = False
     degeneracy_remap_ratio: float = 0.02
     dtype: str = "float32"
